@@ -1,0 +1,24 @@
+'''
+Test configuration for zephyr_tpu.
+
+Tests run on CPU with float64/complex128 enabled (matching the reference's
+complex128 numerics) and an 8-device virtual platform so that sharding
+tests exercise a multi-device mesh without TPU hardware, per the
+reference-survey test strategy (SURVEY.md section 4.3).
+'''
+
+import os
+import sys
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)

@@ -1,0 +1,121 @@
+'''
+Iterative Helmholtz solver: accuracy vs direct sparse LU (the reference's
+backend; BASELINE.md requires 1e-5 relative agreement), transpose solves,
+and implicit differentiation through lax.custom_linear_solve.
+'''
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from zephyr_tpu.ops.minizephyr_coeff import minizephyr_planes
+from zephyr_tpu.ops.stencil import planes_to_dense
+from zephyr_tpu.solver.helmholtz import (SolverConfig, prepare_operator,
+                                         solve, solve_batched,
+                                         shifted_velocity)
+
+NX, NZ, FREQ, CVAL = 100, 200, 200., 2500.
+
+
+def _operator(with_transpose=False, cfg=SolverConfig()):
+    c = CVAL * jnp.ones((NZ, NX), dtype=jnp.complex128)
+    rho = jnp.ones((NZ, NX))
+    planes = minizephyr_planes(c, rho, FREQ)[None, None]
+    pplanes = minizephyr_planes(shifted_velocity(c, cfg.shift), rho,
+                                FREQ)[None, None]
+    return prepare_operator(planes, pplanes, cfg,
+                            with_transpose=with_transpose)
+
+
+def _lu(planes):
+    A = sp.csc_matrix(planes_to_dense(np.asarray(planes[0, 0])))
+    return spla.splu(A)
+
+
+def test_matches_lu_to_1e5():
+    cfg = SolverConfig(tol=1e-8, maxiter=600)
+    op = _operator(cfg=cfg)
+    q = np.zeros((1, NZ, NX), dtype=np.complex128)
+    q[0, 25, 25] = 1.0
+    x = np.asarray(solve(op, jnp.asarray(q), cfg)).ravel()
+    lu = _lu(op.planes)
+    x_lu = lu.solve(q.ravel())
+    rel = np.linalg.norm(x - x_lu) / np.linalg.norm(x_lu)
+    assert rel < 1e-5
+
+
+def test_batched_rhs():
+    cfg = SolverConfig(tol=1e-7, maxiter=600)
+    op = _operator(cfg=cfg)
+    rng = np.random.default_rng(3)
+    nsrc = 3
+    q = np.zeros((nsrc, 1, NZ, NX), dtype=np.complex128)
+    for i in range(nsrc):
+        q[i, 0, rng.integers(30, 170), rng.integers(30, 70)] = 1.0
+    x = np.asarray(solve_batched(op, jnp.asarray(q), cfg))
+    lu = _lu(op.planes)
+    for i in range(nsrc):
+        x_lu = lu.solve(q[i].ravel())
+        rel = np.linalg.norm(x[i].ravel() - x_lu) / np.linalg.norm(x_lu)
+        assert rel < 1e-5
+
+
+def test_transpose_solve_through_vjp():
+    'VJP of the solve is the transpose solve: vjp(g) = A^{-T} g.'
+    cfg = SolverConfig(tol=1e-9, maxiter=600)
+    nz, nx = 60, 50
+    c = CVAL * jnp.ones((nz, nx), dtype=jnp.complex128)
+    rho = jnp.ones((nz, nx))
+    planes = minizephyr_planes(c, rho, FREQ)[None, None]
+    pplanes = minizephyr_planes(shifted_velocity(c, cfg.shift), rho,
+                                FREQ)[None, None]
+    op = prepare_operator(planes, pplanes, cfg, with_transpose=True)
+
+    q = np.zeros((1, nz, nx), dtype=np.complex128)
+    q[0, 30, 25] = 1.0
+    qj = jnp.asarray(q)
+
+    f = lambda b: solve(op, b, cfg)
+    x, vjp = jax.vjp(f, qj)
+    g = np.zeros_like(q)
+    g[0, 20, 20] = 1.0 + 0.5j
+    (gb,) = vjp(jnp.asarray(g))
+
+    A = planes_to_dense(np.asarray(op.planes[0, 0]))
+    x_direct = np.linalg.solve(A.T, g.ravel())
+    assert np.linalg.norm(np.asarray(gb).ravel() - x_direct) \
+        / np.linalg.norm(x_direct) < 1e-5
+
+
+def test_gradient_through_planes_fd():
+    'Implicit diff w.r.t. velocity against finite differences.'
+    cfg = SolverConfig(tol=1e-9, maxiter=800)
+    nz, nx = 48, 40
+    rho = jnp.ones((nz, nx))
+    q = np.zeros((1, nz, nx), dtype=np.complex128)
+    q[0, 24, 20] = 1.0
+    qj = jnp.asarray(q)
+
+    def misfit(cfield):
+        planes = minizephyr_planes(cfield, rho, FREQ)[None, None]
+        pplanes = minizephyr_planes(shifted_velocity(cfield, cfg.shift),
+                                    rho, FREQ)[None, None]
+        op = prepare_operator(planes, pplanes, cfg, with_transpose=True)
+        u = solve(op, qj, cfg)
+        return jnp.sum(jnp.abs(u) ** 2)
+
+    c0 = CVAL * jnp.ones((nz, nx), dtype=jnp.complex128)
+    g = jax.grad(misfit)(c0)
+
+    rng = np.random.default_rng(0)
+    dc = rng.standard_normal((nz, nx))
+    dc = jnp.asarray(dc / np.linalg.norm(dc))
+    eps = 1e-2
+    f_plus = misfit(c0 + eps * dc)
+    f_minus = misfit(c0 - eps * dc)
+    fd = (f_plus - f_minus) / (2 * eps)
+    # JAX convention for real-valued f of complex z: df = Re(sum(g * dz))
+    pred = jnp.real(jnp.sum(g * dc))
+    assert abs(float(fd) - float(pred)) / abs(float(fd)) < 1e-4

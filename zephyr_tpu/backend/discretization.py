@@ -1,0 +1,228 @@
+'''
+Discretization base classes for zephyr_tpu.
+
+Reference parity: zephyr/backend/discretization.py. The universal calling
+convention is preserved — a discretization instance IS the inverse
+operator: ``u = Ainv * q`` returns wavefields, and
+``__mul__`` applies ``(A^{-1} (premul * rhs)).conjugate()`` (the FT
+convention of discretization.py:101-103). What changes underneath:
+
+- There is no sparse matrix and no LU. ``A`` is a matrix-free coefficient-
+  plane pytree (see zephyr_tpu.ops.stencil) and the solve is the multigrid-
+  preconditioned BiCGStab of zephyr_tpu.solver.helmholtz, jitted on device.
+- "Factorization" lifecycle (discretization.py:79-99) maps to the prepared
+  HelmholtzOperator (planes + multigrid hierarchy), cached per instance and
+  droppable via ``del obj.factors``.
+'''
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from ..core.attrmap import BaseSCCache
+from ..solver.helmholtz import (SolverConfig, prepare_operator,
+                                solve_batched_jit, shifted_velocity)
+from .base import BaseModelDependent
+
+
+def default_complex_dtype():
+    'complex128 when x64 is enabled (CPU tests), else complex64 (TPU).'
+    return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+
+
+class BaseDiscretization(BaseModelDependent):
+    '''
+    Base class for all discretizations. Subclasses must provide
+    ``_buildPlanes()`` (the true operator planes, shape (B, B, 9, nz, nx))
+    and ``_buildPrecondPlanes()`` (the complex-shifted preconditioner).
+    '''
+
+    initMap = {
+    #   Argument        Required    Rename as ...   Store as type
+        'c':            (True,      '_c',           np.complex128),
+        'rho':          (False,     '_rho',         np.float64),
+        'freq':         (True,      None,           np.complex128),
+        'Solver':       (False,     '_Solver',      None),
+        'tau':          (False,     '_tau',         np.float64),
+        'premul':       (False,     '_premul',      np.complex128),
+        'solverOpts':   (False,     '_solverOpts',  dict),
+    }
+
+    @property
+    def tau(self):
+        'Laplace-domain damping time constant'
+        return getattr(self, '_tau', np.inf)
+
+    @property
+    def dampCoeff(self):
+        'Computed damping coefficient to be added to real omega'
+        return 1j / self.tau
+
+    @property
+    def premul(self):
+        'A premultiplication factor, used by 2.5D and half differentiation'
+        return getattr(self, '_premul', 1.)
+
+    @property
+    def c(self):
+        'Complex wave velocity'
+        if isinstance(self._c, np.ndarray) and self._c.size > 1:
+            return self._c.reshape((self.nz, self.nx))
+        return np.complex128(self._c) * np.ones((self.nz, self.nx),
+                                                dtype=np.complex128)
+
+    @property
+    def rho(self):
+        'Bulk density; defaults to Gardner\'s relation 310 c^0.25'
+        if hasattr(self, '_rho'):
+            rho = self._rho
+            if isinstance(rho, np.ndarray) and rho.size > 1:
+                return rho.reshape((self.nz, self.nx))
+            return np.float64(rho) * np.ones((self.nz, self.nx),
+                                             dtype=np.float64)
+        self._rho = 310. * self.c.real ** 0.25
+        return self._rho
+
+    @property
+    def solverConfig(self):
+        'Static iterative-solver configuration (overridable via config).'
+        opts = getattr(self, '_solverOpts', {})
+        return SolverConfig(**opts)
+
+    @property
+    def nblock(self):
+        'Number of wavefield blocks (1 scalar; 2 for the Eurus TTI pair).'
+        return 1
+
+    def _buildPlanes(self):
+        raise NotImplementedError
+
+    def _buildPrecondPlanes(self):
+        raise NotImplementedError
+
+    @property
+    def A(self):
+        'The matrix-free operator: (B, B, 9, nz, nx) coefficient planes.'
+        if getattr(self, '_A', None) is None:
+            self._A = self._buildPlanes()
+        return self._A
+
+    @property
+    def shape(self):
+        n = self.nblock * self.nrow
+        return (n, n)
+
+    @property
+    def Ainv(self):
+        'The prepared on-device solver (planes + multigrid hierarchy).'
+        if not hasattr(self, '_Ainv'):
+            self._Ainv = prepare_operator(
+                self.A, self._buildPrecondPlanes(), self.solverConfig,
+                with_transpose=False)
+        return self._Ainv
+
+    @Ainv.deleter
+    def Ainv(self):
+        if hasattr(self, '_Ainv'):
+            del self._Ainv
+
+    @property
+    def factors(self):
+        return hasattr(self, '_Ainv')
+
+    @factors.deleter
+    def factors(self):
+        del self.Ainv
+
+    def _solve_rhs(self, rhs):
+        '''
+        Core solve: rhs (n, nrhs) complex -> wavefields (n, nrhs) with the
+        reference's premul and conjugation applied.
+        '''
+
+        cdtype = default_complex_dtype()
+        B = self.nblock
+        nrhs = rhs.shape[1]
+        b = jnp.asarray(self.premul * rhs, dtype=cdtype)
+        b = b.T.reshape((nrhs, B, self.nz, self.nx))
+        x = solve_batched_jit(self.Ainv, b, self.solverConfig)
+        x = np.asarray(x.reshape((nrhs, B * self.nrow)).T)
+        return x.conjugate()
+
+    def __mul__(self, rhs):
+        'Action of multiplying the inverted system by a right-hand side.'
+
+        if sp.issparse(rhs):
+            rhs = rhs.toarray()
+        rhs = np.asarray(rhs)
+        single = rhs.ndim < 2
+        if single:
+            rhs = rhs.reshape((rhs.size, 1))
+        u = self._solve_rhs(rhs.astype(np.complex128))
+        return u.ravel() if single else u
+
+    def __call__(self, value):
+        return self * value
+
+
+class DiscretizationWrapper(BaseSCCache):
+    '''
+    Base class for objects that wrap around discretizations in order to
+    model composite systems (multi-frequency, multi-ky, multi-grid).
+    Parity: discretization.py:109-169 — subproblem configs are produced by
+    overlaying ``spUpdates`` dicts onto the stored systemConfig.
+    '''
+
+    initMap = {
+    #   Argument        Required    Rename as ...   Store as type
+        'Disc':         (True,      None,           None),
+        'scaleTerm':    (False,     '_scaleTerm',   np.complex128),
+    }
+
+    maskKeys = {'scaleTerm'}
+
+    cacheItems = ['_subProblems']
+
+    @property
+    def scaleTerm(self):
+        'A scaling term to apply to the output wavefield.'
+        return getattr(self, '_scaleTerm', 1.)
+
+    @property
+    def spUpdates(self):
+        raise NotImplementedError
+
+    @property
+    def _spConfigs(self):
+
+        def overlay(spu):
+            config = dict(self.systemConfig)
+            config.update(spu)
+            return config
+
+        return (overlay(spu) for spu in self.spUpdates)
+
+    @property
+    def subProblems(self):
+        'Instantiated subproblem discretizations (cached).'
+
+        if getattr(self, '_subProblems', None) is None:
+            self._subProblems = [self.Disc(config)
+                                 for config in self._spConfigs]
+        return self._subProblems
+
+    @property
+    def factors(self):
+        return getattr(self, '_subProblems', None) is not None and \
+            any(s.factors for s in self._subProblems)
+
+    @factors.deleter
+    def factors(self):
+        if getattr(self, '_subProblems', None) is not None:
+            for s in self._subProblems:
+                del s.factors
+
+    def __mul__(self, rhs):
+        raise NotImplementedError

@@ -1,0 +1,256 @@
+'''
+Matrix-free 9-point stencil operators for zephyr_tpu.
+
+The reference (uwoseis/zephyr) assembles its 9-point frequency-domain
+Helmholtz operators as SciPy CSR matrices built from 9 diagonal vectors
+(reference zephyr/backend/minizephyr.py:219-252 and
+zephyr/backend/eurus.py:300-463) and factorizes them with sparse LU. On TPU
+the idiomatic inversion of that design keeps the SAME stencil coefficients,
+but stores them as dense "coefficient planes" of shape (9, nz, nx) and
+applies the operator matrix-free:
+
+    (A u)[i, j] = sum_k  planes[k, i, j] * u[i + dz_k, j + dx_k]
+
+with zero extension outside the grid. This matches the sparse-diagonal
+semantics of the reference exactly, because the reference zeroes every
+off-diagonal coefficient on boundary rows (minizephyr.py:256-298), so the
+linear-index wraparound of scipy.sparse.diags never contributes.
+
+Block operators (the Eurus TTI 2N-state system, eurus.py:430-464) are
+represented as planes of shape (B, B, 9, nz, nx) acting on fields of shape
+(B, nz, nx).
+
+Plane ordering: index k = (dz + 1) * 3 + (dx + 1) for offsets
+(dz, dx) in row-major order over {-1, 0, 1}^2, i.e.
+
+    k : 0        1       2       3       4      5       6       7       8
+    s : (-1,-1) (-1,0) (-1,+1) (0,-1) (0,0) (0,+1) (+1,-1) (+1,0) (+1,+1)
+
+where dz indexes the slow (z, first) axis and dx the fast (x, second) axis.
+'''
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+#: Stencil offsets (dz, dx), index k = (dz+1)*3 + (dx+1)
+OFFSETS = tuple((dz, dx) for dz in (-1, 0, 1) for dx in (-1, 0, 1))
+CENTER = 4
+
+
+def shift2d(arr, dz, dx):
+    '''
+    Return out[i, j] = arr[i + dz, j + dx], zero outside the array.
+    Operates on the last two axes.
+    '''
+
+    nz, nx = arr.shape[-2:]
+    padded = jnp.pad(arr, [(0, 0)] * (arr.ndim - 2) + [(1, 1), (1, 1)])
+    return lax.slice_in_dim(
+        lax.slice_in_dim(padded, 1 + dz, 1 + dz + nz, axis=arr.ndim - 2),
+        1 + dx, 1 + dx + nx, axis=arr.ndim - 1)
+
+
+def sanitize_planes(planes):
+    '''
+    Zero the stencil entries that point outside the grid (e.g. the (0,+1)
+    plane on the last column). Such entries never contribute to
+    ``apply_stencil`` (zero padding) or to dense assembly (masked), so this
+    is semantically a no-op — but it makes plane storage canonical, which
+    the Galerkin coarsening in ``zephyr_tpu.solver.multigrid`` relies on.
+    Works on (..., 9, nz, nx).
+    '''
+
+    nz, nx = planes.shape[-2:]
+    out = []
+    for k, (dz, dx) in enumerate(OFFSETS):
+        p = planes[..., k, :, :]
+        if dz < 0:
+            p = p.at[..., 0, :].set(0)
+        if dz > 0:
+            p = p.at[..., -1, :].set(0)
+        if dx < 0:
+            p = p.at[..., :, 0].set(0)
+        if dx > 0:
+            p = p.at[..., :, -1].set(0)
+        out.append(p)
+    return jnp.stack(out, axis=-3)
+
+
+def apply_stencil(planes, u):
+    '''
+    Apply a scalar 9-point stencil operator.
+
+    Args:
+        planes: (9, nz, nx) complex coefficient planes
+        u: (..., nz, nx) field (leading axes broadcast, e.g. RHS batch)
+
+    Returns:
+        (..., nz, nx) A @ u
+    '''
+
+    up = jnp.pad(u, [(0, 0)] * (u.ndim - 2) + [(1, 1), (1, 1)])
+    nz, nx = u.shape[-2:]
+    out = None
+    for k, (dz, dx) in enumerate(OFFSETS):
+        term = planes[k] * lax.slice_in_dim(
+            lax.slice_in_dim(up, 1 + dz, 1 + dz + nz, axis=u.ndim - 2),
+            1 + dx, 1 + dx + nx, axis=u.ndim - 1)
+        out = term if out is None else out + term
+    return out
+
+
+def transpose_planes(planes):
+    '''
+    Coefficient planes of the transposed scalar operator.
+
+    A^T[r, r+s] = A[r+s, r] = P_{-s}[r+s], so the transposed plane for
+    offset s is the plane for -s shifted by +s (with zero fill).
+    '''
+
+    out = []
+    for k, (dz, dx) in enumerate(OFFSETS):
+        krev = ((-dz) + 1) * 3 + ((-dx) + 1)  # index of offset (-dz, -dx)
+        out.append(shift2d(planes[krev], dz, dx))
+    return jnp.stack(out, axis=0)
+
+
+def apply_block_stencil(planes, u):
+    '''
+    Apply a block 9-point stencil operator.
+
+    Args:
+        planes: (B, B, 9, nz, nx) coefficient planes
+        u: (..., B, nz, nx) block field
+
+    Returns:
+        (..., B, nz, nx): out[i] = sum_j A[i,j] u[j]
+    '''
+
+    B = planes.shape[0]
+    rows = []
+    for i in range(B):
+        acc = None
+        for j in range(B):
+            term = apply_stencil(planes[i, j], u[..., j, :, :])
+            acc = term if acc is None else acc + term
+        rows.append(acc)
+    return jnp.stack(rows, axis=-3)
+
+
+def transpose_block_planes(planes):
+    'Planes of the transposed block operator (swap blocks + per-block T).'
+
+    B = planes.shape[0]
+    rows = []
+    for i in range(B):
+        cols = [transpose_planes(planes[j, i]) for j in range(B)]
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def block_diag(planes):
+    '''
+    The (B, B, nz, nx) pointwise block-diagonal of a block stencil operator
+    (the k=CENTER plane of each block).
+    '''
+
+    return planes[:, :, CENTER]
+
+
+def invert_block_diag(D):
+    '''
+    Pointwise inverse of a (B, B, nz, nx) block-diagonal field.
+    Supports B = 1 and B = 2 analytically.
+    '''
+
+    B = D.shape[0]
+    if B == 1:
+        return (1.0 / D[0, 0])[None, None]
+    if B == 2:
+        a, b = D[0, 0], D[0, 1]
+        c, d = D[1, 0], D[1, 1]
+        det = a * d - b * c
+        inv = jnp.stack([jnp.stack([d, -b], axis=0),
+                         jnp.stack([-c, a], axis=0)], axis=0)
+        return inv / det
+    raise NotImplementedError('invert_block_diag: B > 2')
+
+
+def block_diag_matvec(Dinv, r):
+    'Apply a pointwise (B, B, nz, nx) block field to (..., B, nz, nx).'
+
+    B = Dinv.shape[0]
+    outs = []
+    for i in range(B):
+        acc = None
+        for j in range(B):
+            term = Dinv[i, j] * r[..., j, :, :]
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    return jnp.stack(outs, axis=-3)
+
+
+# ---------------------------------------------------------------------------
+# Dense assembly (for tests and for the multigrid coarse-level solve only;
+# NEVER in the fine-grid hot path)
+# ---------------------------------------------------------------------------
+
+def planes_to_dense(planes):
+    '''
+    Assemble a scalar (9, nz, nx) plane set into a dense (nz*nx, nz*nx)
+    matrix with true 2D neighbor semantics (no linear-index wraparound).
+    '''
+
+    planes = np.asarray(planes)
+    _, nz, nx = planes.shape
+    n = nz * nx
+    A = np.zeros((n, n), dtype=planes.dtype)
+    I, J = np.mgrid[0:nz, 0:nx]
+    rows = (I * nx + J).ravel()
+    for k, (dz, dx) in enumerate(OFFSETS):
+        In, Jn = I + dz, J + dx
+        valid = (In >= 0) & (In < nz) & (Jn >= 0) & (Jn < nx)
+        cols = (In * nx + Jn).ravel()
+        v = valid.ravel()
+        A[rows[v], cols[v]] += planes[k].ravel()[v]
+    return A
+
+
+def block_planes_to_dense(planes):
+    'Assemble (B, B, 9, nz, nx) block planes into a dense (B*n, B*n) matrix.'
+
+    planes = np.asarray(planes)
+    B = planes.shape[0]
+    nz, nx = planes.shape[-2:]
+    n = nz * nx
+    A = np.zeros((B * n, B * n), dtype=planes.dtype)
+    for i in range(B):
+        for j in range(B):
+            A[i * n:(i + 1) * n, j * n:(j + 1) * n] = \
+                planes_to_dense(planes[i, j])
+    return A
+
+
+def planes_to_dense_jax(planes):
+    '''
+    jit-compatible dense assembly of block planes (B, B, 9, nz, nx) into
+    (B*nz*nx, B*nz*nx). Used for the multigrid coarsest-level direct solve.
+    '''
+
+    B = planes.shape[0]
+    nz, nx = planes.shape[-2:]
+    n = nz * nx
+    I, J = jnp.mgrid[0:nz, 0:nx]
+    rows = (I * nx + J).ravel()
+    A = jnp.zeros((B * n, B * n), dtype=planes.dtype)
+    for bi in range(B):
+        for bj in range(B):
+            for k, (dz, dx) in enumerate(OFFSETS):
+                In, Jn = I + dz, J + dx
+                valid = (In >= 0) & (In < nz) & (Jn >= 0) & (Jn < nx)
+                cols = (jnp.clip(In, 0, nz - 1) * nx
+                        + jnp.clip(Jn, 0, nx - 1)).ravel()
+                vals = jnp.where(valid.ravel(), planes[bi, bj, k].ravel(), 0.)
+                A = A.at[bi * n + rows, bj * n + cols].add(vals)
+    return A

@@ -1,0 +1,281 @@
+'''
+Geometric multigrid with Galerkin (RAP) coarse operators, matrix-free,
+for the zephyr_tpu Helmholtz solver.
+
+This is the TPU-native replacement for the reference's sparse direct solver
+(problemo.BestSolver wrapping SciPy SuperLU / MUMPS; reference
+zephyr/backend/discretization.py:79-85). No sparse LU exists on TPU, so the
+solve becomes Krylov iteration (see ``zephyr_tpu.solver.krylov``)
+preconditioned by a complex-shifted-Laplacian multigrid cycle (Erlangga-
+style), built entirely from the 9-point coefficient planes:
+
+- Coarse-grid operators are computed by exact stencil-space Galerkin
+  coarsening R A P (full-weighting restriction, bilinear prolongation),
+  which stays within the 9-point stencil class — so every level reuses the
+  same matrix-free apply. This handles PML regions, Dirichlet boundary rows
+  and heterogeneous media without any special-casing.
+- Smoothing is damped (block-)Jacobi; the pointwise (B, B) diagonal blocks
+  are inverted analytically.
+- The coarsest level is solved directly with a precomputed dense LU.
+
+All functions are jit-compatible with static shapes; hierarchies are
+pytrees, so the whole V-cycle traces into a single XLA computation.
+'''
+
+from typing import NamedTuple, Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import stencil
+from ..ops.stencil import (apply_block_stencil, block_diag,
+                           invert_block_diag, block_diag_matvec,
+                           planes_to_dense_jax)
+
+#: per-axis prolongation weights for offsets (-1, 0, +1)
+_W = (0.5, 1.0, 0.5)
+
+
+def _coarse_extent(n):
+    'Number of coarse points for vertex-centred 2:1 coarsening.'
+    return (n + 1) // 2
+
+
+def _strided_gather(plane, az, ax, nzc, nxc):
+    '''
+    Return plane[2I+az, 2J+ax] for coarse indices (I, J), zero outside.
+    ``plane`` has shape (..., nz, nx).
+    '''
+
+    padded = jnp.pad(plane, [(0, 0)] * (plane.ndim - 2) + [(1, 1), (1, 1)])
+    start = [0] * (plane.ndim - 2) + [1 + az, 1 + ax]
+    limit = list(padded.shape[:-2]) + [1 + az + 2 * (nzc - 1) + 1,
+                                       1 + ax + 2 * (nxc - 1) + 1]
+    strides = [1] * (plane.ndim - 2) + [2, 2]
+    return lax.slice(padded, start, limit, strides)
+
+
+def galerkin_coarsen_scalar(planes):
+    '''
+    Exact stencil-space Galerkin coarsening of a scalar (9, nz, nx) operator:
+    A_c = R A P with full-weighting R = (1/4) P^T and bilinear P. The result
+    is again a 9-point stencil, with coefficients
+
+        A_c[d](I,J) = sum_{a, s : a' = a + s - 2d in [-1,1]^2}
+            (1/4) w(a) w(a') planes[s][2I + a_z, 2J + a_x]
+
+    The input planes are sanitized first (entries pointing outside the grid
+    zeroed) so that the stencil-space product matches the dense R A P
+    exactly, including at boundaries.
+    '''
+
+    planes = stencil.sanitize_planes(planes)
+    nz, nx = planes.shape[-2:]
+    nzc, nxc = _coarse_extent(nz), _coarse_extent(nx)
+
+    out = []
+    for dz in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            acc = jnp.zeros((nzc, nxc), dtype=planes.dtype)
+            for az in (-1, 0, 1):
+                for sz in (-1, 0, 1):
+                    apz = az + sz - 2 * dz
+                    if apz < -1 or apz > 1:
+                        continue
+                    wz = _W[az + 1] * _W[apz + 1]
+                    for ax in (-1, 0, 1):
+                        for sx in (-1, 0, 1):
+                            apx = ax + sx - 2 * dx
+                            if apx < -1 or apx > 1:
+                                continue
+                            w = 0.25 * wz * _W[ax + 1] * _W[apx + 1]
+                            k = (sz + 1) * 3 + (sx + 1)
+                            acc = acc + w * _strided_gather(
+                                planes[k], az, ax, nzc, nxc)
+            out.append(acc)
+    return jnp.stack(out, axis=0)
+
+
+def galerkin_coarsen(planes):
+    'Galerkin coarsening of block planes (B, B, 9, nz, nx).'
+
+    B = planes.shape[0]
+    rows = []
+    for i in range(B):
+        cols = [galerkin_coarsen_scalar(planes[i, j]) for j in range(B)]
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def restrict(v):
+    'Full-weighting restriction of (..., nz, nx) to the coarse grid.'
+
+    nz, nx = v.shape[-2:]
+    nzc, nxc = _coarse_extent(nz), _coarse_extent(nx)
+    acc = None
+    for az in (-1, 0, 1):
+        for ax in (-1, 0, 1):
+            term = (0.25 * _W[az + 1] * _W[ax + 1]) * _strided_gather(
+                v, az, ax, nzc, nxc)
+            acc = term if acc is None else acc + term
+    return acc
+
+
+def prolong(vc, nz, nx):
+    'Bilinear prolongation of (..., nzc, nxc) onto the (nz, nx) fine grid.'
+
+    nzc, nxc = vc.shape[-2:]
+    lead = vc.shape[:-2]
+    out = jnp.zeros(lead + (nz + 2, nx + 2), dtype=vc.dtype)
+    for az in (-1, 0, 1):
+        for ax in (-1, 0, 1):
+            w = _W[az + 1] * _W[ax + 1]
+            idx = (Ellipsis,
+                   slice(1 + az, 1 + az + 2 * (nzc - 1) + 1, 2),
+                   slice(1 + ax, 1 + ax + 2 * (nxc - 1) + 1, 2))
+            out = out.at[idx].add(w * vc)
+    return out[..., 1:-1, 1:-1]
+
+
+class MGLevel(NamedTuple):
+    planes: Any   # (B, B, 9, nz, nx)
+    dinv: Any     # (B, B, nz, nx)
+    mask: Any     # (nz, nx) interior mask: 0 on the boundary ring
+
+
+class MGHierarchy(NamedTuple):
+    levels: Any        # tuple of MGLevel, fine -> coarse
+    coarse_lu: Any     # LU factors of the coarsest dense operator
+    coarse_piv: Any
+
+
+def _ring_mask(nz, nx, dtype):
+    m = jnp.ones((nz, nx), dtype=dtype)
+    m = m.at[0, :].set(0).at[-1, :].set(0)
+    m = m.at[:, 0].set(0).at[:, -1].set(0)
+    return m
+
+
+def _mask_ring_planes(planes, mask):
+    '''
+    The operator diag(m) A diag(m) in stencil space: zero the plane rows on
+    the boundary ring and zero every entry that points into the ring.
+    The boundary (Dirichlet) rows are decoupled from coarse-grid correction
+    this way — they are diagonal rows that the smoother solves exactly, and
+    including them in the Galerkin coarse operator mixes +1 identity rows
+    with the (oppositely signed) interior rows, which destroys two-grid
+    convergence (measured rho(TG) > 1.3 even for the Laplacian).
+    '''
+
+    from ..ops.stencil import OFFSETS, shift2d
+    B = planes.shape[0]
+    out = []
+    for i in range(B):
+        row = []
+        for j in range(B):
+            ps = []
+            for k, (dz, dx) in enumerate(OFFSETS):
+                # mask[p] (row on ring) and mask[p + s] (points into ring)
+                ps.append(planes[i, j, k] * mask * shift2d(mask, dz, dx))
+            row.append(jnp.stack(ps, axis=0))
+        out.append(jnp.stack(row, axis=0))
+    return jnp.stack(out, axis=0)
+
+
+def _identity_ring_rows(planes, mask):
+    'Set the boundary-ring rows of a block operator to (block) identity.'
+
+    B = planes.shape[0]
+    ring = 1.0 - mask
+    out = planes * mask[None, None, None]
+    for i in range(B):
+        out = out.at[i, i, 4].add(ring)
+    return out
+
+
+def build_hierarchy(planes, min_size=16, max_levels=16):
+    '''
+    Build a multigrid hierarchy from (B, B, 9, nz, nx) planes. Coarsens by
+    2x per level until min(nz, nx) <= min_size, then LU-factorizes the
+    coarsest dense operator. Boundary-ring dofs are excluded from the
+    coarse-grid correction at every level (see ``_mask_ring_planes``).
+    '''
+
+    rdtype = jnp.real(jnp.zeros((), planes.dtype)).dtype
+    levels = []
+    current = planes
+    for _ in range(max_levels):
+        nz, nx = current.shape[-2:]
+        mask = _ring_mask(nz, nx, rdtype)
+        dinv = invert_block_diag(block_diag(current))
+        levels.append(MGLevel(current, dinv, mask))
+        if min(nz, nx) <= min_size:
+            break
+        masked = _mask_ring_planes(current, mask)
+        coarse = galerkin_coarsen(masked)
+        nzc, nxc = coarse.shape[-2:]
+        coarse = _identity_ring_rows(coarse, _ring_mask(nzc, nxc, rdtype))
+        current = coarse
+
+    dense = planes_to_dense_jax(levels[-1].planes)
+    lu, piv = jax.scipy.linalg.lu_factor(dense)
+    return MGHierarchy(tuple(levels), lu, piv)
+
+
+def _smooth(level, u, b, omega, nsweeps):
+    'Damped block-Jacobi sweeps.'
+
+    def body(_, u):
+        r = b - apply_block_stencil(level.planes, u)
+        return u + omega * block_diag_matvec(level.dinv, r)
+    return lax.fori_loop(0, nsweeps, body, u)
+
+
+def _coarse_solve(hier, b):
+    B = b.shape[-3]
+    nz, nx = b.shape[-2:]
+    x = jax.scipy.linalg.lu_solve((hier.coarse_lu, hier.coarse_piv),
+                                  b.reshape(-1))
+    return x.reshape(B, nz, nx)
+
+
+def v_cycle(hier, b, omega=0.6, nu1=2, nu2=2, level=0):
+    '''
+    One multigrid V-cycle for the (shifted) operator; returns an
+    approximate solution of A x = b with zero initial guess.
+    b has shape (B, nz, nx).
+    '''
+
+    lvl = hier.levels[level]
+    if level == len(hier.levels) - 1:
+        return _coarse_solve(hier, b)
+
+    u = jnp.zeros_like(b)
+    u = _smooth(lvl, u, b, omega, nu1)
+    r = b - apply_block_stencil(lvl.planes, u)
+    rc = restrict(lvl.mask * r)
+    ec = v_cycle(hier, rc, omega, nu1, nu2, level + 1)
+    nz, nx = b.shape[-2:]
+    u = u + lvl.mask * prolong(ec, nz, nx)
+    u = _smooth(lvl, u, b, omega, nu2)
+    return u
+
+
+def transpose_hierarchy(hier):
+    '''
+    Hierarchy for the transposed operator. Since R = (1/4) P^T, the Galerkin
+    coarse operator of A^T equals the transpose of the coarse operator of A,
+    so each level's planes are simply block-transposed; the coarsest dense
+    LU is re-factorized from the transposed planes.
+    '''
+
+    levels = []
+    for lvl in hier.levels:
+        planesT = stencil.transpose_block_planes(lvl.planes)
+        levels.append(MGLevel(planesT,
+                              invert_block_diag(block_diag(planesT)),
+                              lvl.mask))
+    dense = planes_to_dense_jax(levels[-1].planes)
+    lu, piv = jax.scipy.linalg.lu_factor(dense)
+    return MGHierarchy(tuple(levels), lu, piv)
