@@ -1,0 +1,231 @@
+'''
+zephyr_tpu benchmark driver.
+
+Measures multi-source Helmholtz solve throughput on one chip at the
+BASELINE.md north-star configuration (2048^2 grid, multi-source batch)
+and compares against the reference's solver path: single-core SciPy
+sparse-LU (the reference's problemo.BestSolver default — SuperLU), with
+the LU cost measured at a smaller grid and extrapolated to the bench
+grid by the standard 2D nested-dissection complexity model
+(factorization ~ O(N^1.5), triangular solves ~ O(N log N) per RHS).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+'''
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_N = int(os.environ.get('ZT_BENCH_N', 2048))
+BENCH_NSRC = int(os.environ.get('ZT_BENCH_NSRC', 16))
+BENCH_WAVELEN_CELLS = float(os.environ.get('ZT_BENCH_WAVELEN', 16.0))
+BENCH_REPEATS = int(os.environ.get('ZT_BENCH_REPEATS', 3))
+LU_N = int(os.environ.get('ZT_BENCH_LU_N', 512))
+
+
+def measure_tpu(n, nsrc):
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.environ.get('ZT_JAX_CACHE', '/tmp/zephyr_tpu_jaxcache')
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+    from zephyr_tpu.core.realio import realio_jit
+    from zephyr_tpu.ops.minizephyr_coeff import minizephyr_planes
+    from zephyr_tpu.solver.helmholtz import (SolverConfig, prepare_operator,
+                                             solve_batched,
+                                             shifted_velocity, solve_info)
+
+    cval = 1500.0
+    freq = cval / BENCH_WAVELEN_CELLS  # wavelength in cells at dx=1
+    cfg = SolverConfig(tol=1e-5, maxiter=2000, mg_coarse='iterative',
+                       mg_min_size=32)
+
+    # complex arrays never cross the host<->device boundary (realio)
+    def prep_fn(c_real):
+        c = c_real.astype(jnp.complex64)
+        rho = jnp.ones_like(c_real)
+        planes = minizephyr_planes(c, rho, freq)[None, None]
+        pplanes = minizephyr_planes(shifted_velocity(c, cfg.shift), rho,
+                                    freq, pml_cap=cfg.pml_cap)[None, None]
+        return prepare_operator(planes, pplanes, cfg,
+                                with_transpose=False)
+
+    def solve_fn(op, b):
+        x = solve_batched(op, b, cfg)
+        # scalar checksum: forces completion under runtimes whose
+        # block_until_ready is unreliable, and keeps transfers tiny
+        return jnp.sum(jnp.real(x)), jnp.sum(jnp.imag(x))
+
+    def info_fn(op, b):
+        _, iters, relres = solve_info(op, b, cfg)
+        return iters, relres
+
+    c_real = cval * np.ones((n, n), dtype=np.float32)
+    op = realio_jit(prep_fn)(jnp.asarray(c_real))
+
+    rng = np.random.default_rng(0)
+    q = np.zeros((nsrc, 1, n, n), dtype=np.complex64)
+    for i in range(nsrc):
+        q[i, 0, rng.integers(n // 8, 7 * n // 8),
+          rng.integers(n // 8, 7 * n // 8)] = 1.0
+
+    solve_rio = realio_jit(solve_fn, host_output=True)
+
+    # warm-up / compile
+    cs = solve_rio(op, q)
+
+    times = []
+    for _ in range(BENCH_REPEATS):
+        t0 = time.time()
+        cs = solve_rio(op, q)
+        _ = float(np.asarray(cs[0]))   # host readback = hard sync point
+        times.append(time.time() - t0)
+    t = min(times)
+
+    iters, relres = realio_jit(info_fn)(op, q[0])
+    info = {
+        'iters': int(iters),
+        'relres': float(relres),
+        'device': str(jax.devices()[0]),
+        'freq_hz': freq,
+        'wavelengths_across': n / BENCH_WAVELEN_CELLS,
+    }
+    return nsrc / t, info
+
+
+def measure_lu_baseline(n, nsrc):
+    '''
+    Single-core SciPy SuperLU at an LU_N x LU_N version of the same
+    physics, extrapolated to n x n: factor time x (N/N0)^1.5, solve time
+    x (N/N0) x log ratio. Throughput = nsrc / (factor + nsrc * solve).
+    '''
+
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    import jax
+    import jax.numpy as jnp
+    from zephyr_tpu.ops.minizephyr_coeff import minizephyr_planes
+    from zephyr_tpu.ops.stencil import OFFSETS
+
+    cval = 1500.0
+    freq = cval / BENCH_WAVELEN_CELLS
+    with jax.default_device(jax.devices('cpu')[0]):
+        planes = np.asarray(minizephyr_planes(
+            (cval * jnp.ones((LU_N, LU_N))).astype(jnp.complex64),
+            jnp.ones((LU_N, LU_N), jnp.float32), freq))
+
+    nz = nx = LU_N
+    N0 = nz * nx
+    I, J = np.mgrid[0:nz, 0:nx]
+    rows = (I * nx + J).ravel()
+    rr, cc, vv = [], [], []
+    for k, (dz, dx) in enumerate(OFFSETS):
+        In, Jn = I + dz, J + dx
+        valid = ((In >= 0) & (In < nz) & (Jn >= 0) & (Jn < nx)).ravel()
+        cols = (np.clip(In, 0, nz - 1) * nx + np.clip(Jn, 0, nx - 1)).ravel()
+        rr.append(rows[valid])
+        cc.append(cols[valid])
+        vv.append(planes[k].ravel()[valid])
+    A = sp.coo_matrix((np.concatenate(vv),
+                       (np.concatenate(rr), np.concatenate(cc))),
+                      shape=(N0, N0)).tocsc()
+
+    t0 = time.time()
+    lu = spla.splu(A)
+    t_factor = time.time() - t0
+
+    b = np.zeros((N0, nsrc), dtype=np.complex64)
+    for i in range(nsrc):
+        b[(LU_N // 2) * LU_N + LU_N // 2 + i, i] = 1.0
+    t0 = time.time()
+    lu.solve(b)
+    t_solve = (time.time() - t0) / nsrc
+
+    N = n * n
+    scale = N / N0
+    t_factor_big = t_factor * scale ** 1.5
+    t_solve_big = t_solve * scale * (np.log(N) / np.log(N0))
+    throughput = nsrc / (t_factor_big + nsrc * t_solve_big)
+    return throughput, {'t_factor_measured': t_factor,
+                        't_solve_measured': t_solve,
+                        't_factor_extrapolated': t_factor_big,
+                        't_solve_extrapolated': t_solve_big,
+                        'lu_grid': LU_N}
+
+
+def _measure_subprocess(n, nsrc):
+    '''
+    Run measure_tpu in a subprocess (the experimental TPU runtime can
+    crash its worker on very large programs; isolation lets the parent
+    fall back to a smaller grid).
+    '''
+
+    import subprocess
+    env = dict(os.environ)
+    env['ZT_BENCH_MEASURE_ONLY'] = '1'
+    env['ZT_BENCH_N'] = str(n)
+    env['ZT_BENCH_NSRC'] = str(nsrc)
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          capture_output=True, text=True, env=env,
+                          timeout=int(os.environ.get('ZT_BENCH_TIMEOUT',
+                                                     3000)))
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return None
+
+
+def main():
+    sizes = [BENCH_N, BENCH_N // 2, BENCH_N // 4]
+    measured = None
+    for n in sizes:
+        try:
+            measured = _measure_subprocess(n, BENCH_NSRC)
+        except Exception:
+            measured = None
+        if measured is not None:
+            measured['grid'] = n
+            break
+    if measured is None:
+        print(json.dumps({'metric': 'Helmholtz solves/sec/chip',
+                          'value': 0.0, 'unit': 'solves/s',
+                          'vs_baseline': 0.0,
+                          'detail': 'all grid sizes failed'}))
+        return
+
+    n = measured['grid']
+    lu_throughput, lu_info = measure_lu_baseline(n, BENCH_NSRC)
+    tpu_throughput = measured['throughput']
+
+    result = {
+        'metric': 'Helmholtz solves/sec/chip at %d^2, %d sources batched'
+                  % (n, BENCH_NSRC),
+        'value': round(tpu_throughput, 4),
+        'unit': 'solves/s',
+        'vs_baseline': round(tpu_throughput / lu_throughput, 2),
+        'detail': {'tpu': measured['info'], 'lu_baseline': lu_info,
+                   'lu_throughput': lu_throughput,
+                   'requested_grid': BENCH_N},
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    if os.environ.get('ZT_BENCH_MEASURE_ONLY'):
+        throughput, info = measure_tpu(BENCH_N, BENCH_NSRC)
+        print(json.dumps({'throughput': throughput, 'info': info}))
+    else:
+        main()

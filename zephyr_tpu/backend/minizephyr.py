@@ -68,7 +68,8 @@ class MiniZephyr(BaseDiscretization):
         cfg = self.solverConfig
         c = shifted_velocity(jnp.asarray(self.c, dtype=cdtype), cfg.shift)
         rho = jnp.asarray(self.rho)
-        return minizephyr_planes(c, rho, **self._planeKwargs())[None, None]
+        return minizephyr_planes(c, rho, pml_cap=cfg.pml_cap,
+                                 **self._planeKwargs())[None, None]
 
 
 class MiniZephyrHD(MiniZephyr):

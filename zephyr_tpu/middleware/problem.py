@@ -247,7 +247,7 @@ class HelmBaseProblem(BaseModelDependent, BaseSCCache):
                                                **kwargs)[None, None]
                     pplanes = minizephyr_planes(
                         shifted_velocity(ci, cfg.shift), rho, freq=f,
-                        **kwargs)[None, None]
+                        pml_cap=cfg.pml_cap, **kwargs)[None, None]
                 op = prepare_operator(planes, pplanes, cfg,
                                       with_transpose=True)
                 premul = np.sqrt(2j * np.pi * f) if is_hd else \

@@ -140,6 +140,16 @@ class SEGYFile(object):
 
     def readTraces(self, indices=None):
         if indices is None:
+            # full-file decode: use the native codec when available
+            from . import segy_native
+            payload = self._data[TEXT_HEADER_BYTES + BIN_HEADER_BYTES:
+                                 TEXT_HEADER_BYTES + BIN_HEADER_BYTES
+                                 + self.ntr * self._tr_bytes]
+            native = segy_native.decode_traces(
+                payload, self.ntr, self.ns, self.format,
+                self.endian == 'big')
+            if native is not None:
+                return native
             indices = range(self.ntr)
         return np.array([self.trace(i) for i in indices])
 

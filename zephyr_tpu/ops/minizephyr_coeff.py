@@ -44,7 +44,7 @@ def _edge_pad(arr):
 
 def minizephyr_planes(c, rho, freq, dx=1.0, dz=1.0, nPML=10, ky=0.0,
                       tau=jnp.inf, freeSurf=(False, False, False, False),
-                      pml=True):
+                      pml=True, pml_cap=None):
     '''
     Build the (9, nz, nx) coefficient planes of the MiniZephyr operator.
 
@@ -64,6 +64,12 @@ def minizephyr_planes(c, rho, freq, dx=1.0, dz=1.0, nPML=10, ky=0.0,
             preconditioner, whose absorption comes from the complex shift
             instead — the PML complex stretch destroys smoother stability
             (point-Jacobi amplifies oscillatory modes inside the layer).
+        pml_cap: if set (e.g. 2.0), limit the PML decay strength to
+            pml_cap * |omega| — a preconditioner-only compromise that
+            keeps the absorbing character (spectral match to the true
+            operator) while bounding the grid anisotropy that breaks
+            multigrid smoothing, especially at low frequency where the
+            quadratic PML profile is badly overdamped.
 
     Returns:
         (9, nz, nx) complex planes.
@@ -123,13 +129,21 @@ def minizephyr_planes(c, rho, freq, dx=1.0, dz=1.0, nPML=10, ky=0.0,
     if pml:
         dnx = pmlfx * c * dpmlx ** 2
         ddnx = 2 * pmlfx * c * dpmlx
+        dnz = pmlfz * c * dpmlz ** 2
+        ddnz = 2 * pmlfz * c * dpmlz
+
+        if pml_cap is not None:
+            cap = pml_cap * jnp.abs(omegaDamped)
+            fx = jnp.minimum(1.0, cap / jnp.maximum(jnp.abs(dnx), 1e-30))
+            fz = jnp.minimum(1.0, cap / jnp.maximum(jnp.abs(dnz), 1e-30))
+            dnx, ddnx = fx * dnx, fx * ddnx
+            dnz, ddnz = fz * dnz, fz * ddnz
+
         denx = dnx + iom
         r1x = iom / denx
         r1xsq = r1x ** 2
         r2x = isnx * r1xsq * ddnx / denx
 
-        dnz = pmlfz * c * dpmlz ** 2
-        ddnz = 2 * pmlfz * c * dpmlz
         denz = dnz + iom
         r1z = iom / denz
         r1zsq = r1z ** 2

@@ -1,0 +1,8 @@
+'''
+zephyr_tpu parallel: device-mesh sharding of the modelling/inversion axes.
+'''
+
+from .mesh import make_mesh, freq_src_sharding, replicated
+from .multifreq import (viscous_velocity, build_multifreq_ops,
+                        multifreq_solve, multifreq_dpred, fwi_misfit,
+                        make_sharded_fwi_step)

@@ -35,9 +35,11 @@ class SolverConfig(NamedTuple):
     '''
     Static configuration of the iterative Helmholtz solver.
 
-    Defaults were selected by a parameter sweep on the reference's
-    200x100 @ 200 Hz oracle configuration (BiCGStab iterations to 1e-7:
-    ~114 with these settings; see tests/test_solver.py).
+    Defaults were selected by parameter sweeps on the reference's
+    200x100 @ 200 Hz oracle configuration (33 BiCGStab iterations to
+    1e-7) and a 256^2 / 16-wavelength configuration (56 iterations);
+    the capped-PML preconditioner (pml_cap) is the key lever — see
+    ops/minizephyr_coeff.py.
     '''
     tol: float = 1e-7
     maxiter: int = 500
@@ -46,6 +48,8 @@ class SolverConfig(NamedTuple):
     mg_nu2: int = 2           # post-smoothing sweeps
     mg_min_size: int = 32     # coarsest-grid size for the dense solve
     shift: complex = 0.5j     # shifted-Laplacian beta (k^2 -> (1-beta) k^2)
+    mg_coarse: str = 'lu'     # 'lu' (dense direct) or 'iterative'
+    pml_cap: float = 1.0      # preconditioner PML strength cap (x |omega|)
 
 
 def shifted_velocity(c, shift=0.5j):
@@ -83,7 +87,8 @@ def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
     if precond_planes is None:
         precond_planes = planes
     pp = lax.stop_gradient(precond_planes)
-    hier = build_hierarchy(pp, min_size=config.mg_min_size)
+    hier = build_hierarchy(pp, min_size=config.mg_min_size,
+                           coarse=config.mg_coarse)
     hierT = transpose_hierarchy(hier) if with_transpose else None
     return HelmholtzOperator(planes, hier, hierT)
 

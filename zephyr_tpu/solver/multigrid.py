@@ -183,23 +183,36 @@ def _mask_ring_planes(planes, mask):
     return jnp.stack(out, axis=0)
 
 
-def _identity_ring_rows(planes, mask):
-    'Set the boundary-ring rows of a block operator to (block) identity.'
+def _fix_empty_rows(planes):
+    '''
+    Give any all-but-empty row of a Galerkin coarse operator a unit
+    diagonal so the coarsest dense/iterative solve stays nonsingular.
+    Rows with genuine restricted content (including the coarse boundary
+    ring, which receives interior fine equations and whose values the
+    interior prolongation uses) are left untouched — clobbering them
+    destroys the coarse-grid correction near boundaries.
+    '''
 
     B = planes.shape[0]
-    ring = 1.0 - mask
-    out = planes * mask[None, None, None]
+    out = planes
     for i in range(B):
-        out = out.at[i, i, 4].add(ring)
+        d = out[i, i, 4]
+        rowmag = sum(jnp.abs(out[i, j, k])
+                     for j in range(B) for k in range(9))
+        empty = rowmag < 1e-30
+        out = out.at[i, i, 4].set(jnp.where(empty, jnp.ones_like(d), d))
     return out
 
 
-def build_hierarchy(planes, min_size=16, max_levels=16):
+def build_hierarchy(planes, min_size=16, max_levels=16, coarse='lu'):
     '''
     Build a multigrid hierarchy from (B, B, 9, nz, nx) planes. Coarsens by
-    2x per level until min(nz, nx) <= min_size, then LU-factorizes the
-    coarsest dense operator. Boundary-ring dofs are excluded from the
-    coarse-grid correction at every level (see ``_mask_ring_planes``).
+    2x per level until min(nz, nx) <= min_size, then either LU-factorizes
+    the coarsest dense operator (coarse='lu') or leaves it matrix-free for
+    a fixed-iteration Krylov coarse solve (coarse='iterative' — used on
+    backends without a dense LU, and for very large coarsest grids).
+    Boundary-ring dofs are excluded from the coarse-grid correction at
+    every level (see ``_mask_ring_planes``).
     '''
 
     rdtype = jnp.real(jnp.zeros((), planes.dtype)).dtype
@@ -213,13 +226,13 @@ def build_hierarchy(planes, min_size=16, max_levels=16):
         if min(nz, nx) <= min_size:
             break
         masked = _mask_ring_planes(current, mask)
-        coarse = galerkin_coarsen(masked)
-        nzc, nxc = coarse.shape[-2:]
-        coarse = _identity_ring_rows(coarse, _ring_mask(nzc, nxc, rdtype))
-        current = coarse
+        current = _fix_empty_rows(galerkin_coarsen(masked))
 
-    dense = planes_to_dense_jax(levels[-1].planes)
-    lu, piv = jax.scipy.linalg.lu_factor(dense)
+    if coarse == 'lu':
+        dense = planes_to_dense_jax(levels[-1].planes)
+        lu, piv = jax.scipy.linalg.lu_factor(dense)
+    else:
+        lu, piv = None, None
     return MGHierarchy(tuple(levels), lu, piv)
 
 
@@ -232,7 +245,24 @@ def _smooth(level, u, b, omega, nsweeps):
     return lax.fori_loop(0, nsweeps, body, u)
 
 
+COARSE_ITERS = 48
+
+
 def _coarse_solve(hier, b):
+    lvl = hier.levels[-1]
+    if hier.coarse_lu is None:
+        # Matrix-free coarse solve: fixed-iteration block-Jacobi-
+        # preconditioned BiCGStab on the coarsest operator.
+        from .krylov import bicgstab
+
+        def mv(x):
+            return apply_block_stencil(lvl.planes, x)
+
+        def M(r):
+            return block_diag_matvec(lvl.dinv, r)
+
+        return bicgstab(mv, b, M=M, tol=1e-8, maxiter=COARSE_ITERS).x
+
     B = b.shape[-3]
     nz, nx = b.shape[-2:]
     x = jax.scipy.linalg.lu_solve((hier.coarse_lu, hier.coarse_piv),
@@ -276,6 +306,9 @@ def transpose_hierarchy(hier):
         levels.append(MGLevel(planesT,
                               invert_block_diag(block_diag(planesT)),
                               lvl.mask))
-    dense = planes_to_dense_jax(levels[-1].planes)
-    lu, piv = jax.scipy.linalg.lu_factor(dense)
+    if hier.coarse_lu is None:
+        lu, piv = None, None
+    else:
+        dense = planes_to_dense_jax(levels[-1].planes)
+        lu, piv = jax.scipy.linalg.lu_factor(dense)
     return MGHierarchy(tuple(levels), lu, piv)
