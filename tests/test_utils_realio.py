@@ -1,0 +1,133 @@
+'''
+Utility subsystems: the realio complex-transfer boundary, the Pallas
+fused stencil kernel (interpret mode), profiling decorators, and
+checkpoint/resume.
+'''
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zephyr_tpu.core.realio import (C, split_complex, join_complex,
+                                    join_complex_host, realio_jit,
+                                    device_put_c)
+
+
+RNG = np.random.default_rng(0)
+
+
+def test_split_join_roundtrip():
+    tree = {'a': RNG.standard_normal(4) + 1j * RNG.standard_normal(4),
+            'b': RNG.standard_normal(3),
+            'c': 1.5 + 2.5j}
+    split = split_complex(tree)
+    assert isinstance(split['a'], C)
+    assert not isinstance(split['b'], C)
+    back = join_complex_host(split)
+    assert np.allclose(back['a'], tree['a'])
+    assert np.allclose(back['c'], tree['c'])
+
+
+def test_realio_jit_matches_direct():
+    z = RNG.standard_normal((8, 8)) + 1j * RNG.standard_normal((8, 8))
+
+    def fn(x):
+        return jnp.exp(x) * (2 + 1j), jnp.real(x).sum()
+
+    direct = fn(jnp.asarray(z))
+    wrapped = realio_jit(fn, host_output=True)(z)
+    assert np.allclose(wrapped[0], np.asarray(direct[0]))
+    assert np.allclose(wrapped[1], np.asarray(direct[1]))
+
+
+def test_realio_device_pairs_feed_back():
+    z = RNG.standard_normal((4, 4)) + 1j * RNG.standard_normal((4, 4))
+    stage1 = realio_jit(lambda x: x * 2)          # device C pairs out
+    stage2 = realio_jit(lambda x: jnp.sum(jnp.abs(x)), host_output=True)
+    out = stage2(stage1(z))
+    assert np.allclose(float(out), np.abs(z * 2).sum())
+
+
+def test_device_put_c():
+    z = RNG.standard_normal(8) + 1j * RNG.standard_normal(8)
+    pair = device_put_c(z)
+    assert isinstance(pair, C)
+    assert np.allclose(np.asarray(join_complex(pair)), z)
+
+
+def test_pallas_stencil_interpret_matches_reference():
+    from zephyr_tpu.ops.pallas_stencil import (apply_stencil_pallas,
+                                               pallas_applicable)
+    from zephyr_tpu.ops.stencil import apply_stencil
+
+    nz, nx = 16, 128
+    planes = jnp.asarray(
+        (RNG.standard_normal((9, nz, nx))
+         + 1j * RNG.standard_normal((9, nz, nx))).astype(np.complex64))
+    u = jnp.asarray((RNG.standard_normal((nz, nx))
+                     + 1j * RNG.standard_normal((nz, nx))
+                     ).astype(np.complex64))
+    assert pallas_applicable(planes, u)
+    ref = apply_stencil(planes, u)
+    out = apply_stencil_pallas(planes, u, interpret=True)
+    assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 1e-5
+
+
+def test_profiling_decorators():
+    from zephyr_tpu.utils import timeIt, count, stats
+
+    @timeIt
+    def f(x):
+        return x + 1
+
+    @count
+    def g(x):
+        return x * 2
+
+    for i in range(3):
+        f(i)
+        g(i)
+    st = stats()
+    fk = [k for k in st if k.endswith('f')][0]
+    gk = [k for k in st if k.endswith('g')][0]
+    assert st[fk]['calls'] == 3
+    assert st[gk]['calls'] == 3
+
+
+def test_checkpointer_roundtrip(tmp_path):
+    from zephyr_tpu.utils import InversionCheckpointer
+
+    ckpt = InversionCheckpointer(str(tmp_path / 'ckpt'))
+    state = {'model': np.arange(12.).reshape(3, 4),
+             'misfit': np.array(0.5),
+             'block': np.array(2)}
+    ckpt.save(3, state)
+    ckpt.save(7, {k: v * 2 for k, v in state.items()})
+    assert ckpt.steps() == [3, 7]
+    step, restored = ckpt.restore()
+    assert step == 7
+    assert np.allclose(restored['model'], state['model'] * 2)
+    step, restored = ckpt.restore(3)
+    assert np.allclose(restored['model'], state['model'])
+
+
+def test_fullwv_model_convention(tmp_path):
+    from zephyr_tpu.utils import save_fullwv_model, latest_fullwv_model
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        model = 2000. * np.ones((30, 40))
+        save_fullwv_model('proj', 1, model)
+        save_fullwv_model('proj', 12, model + 100)
+        it, fn = latest_fullwv_model('proj')
+        assert it == 12 and fn == 'proj12.vp'
+        from zephyr_tpu.middleware.segy import SEGYFile
+        back = SEGYFile(fn)[:].T
+        assert np.allclose(back, model + 100, rtol=1e-6)
+    finally:
+        os.chdir(cwd)

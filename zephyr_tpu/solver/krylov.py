@@ -59,7 +59,11 @@ def bicgstab(matvec, b, M=None, x0=None, tol=1e-6, maxiter=1000):
     r0 = b - matvec(x0)
     rhat = r0
 
-    one = jnp.ones((), dtype=b.dtype)
+    # scalar carries are derived from b so they inherit its sharding
+    # varying-axis type (required for while_loop inside shard_map)
+    zero_s = jnp.sum(b) * 0
+    one = zero_s + 1
+    down0 = jnp.abs(zero_s) > 1
     tiny = jnp.finfo(jnp.real(jnp.zeros((), b.dtype)).dtype).tiny
 
     def _safe_div(num, den):
@@ -94,7 +98,7 @@ def bicgstab(matvec, b, M=None, x0=None, tol=1e-6, maxiter=1000):
         return (x, r, p, v, rho_new, alpha, omega_new, k + 1, down)
 
     state0 = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
-              jnp.zeros((), jnp.int32), jnp.asarray(False))
+              jnp.zeros((), jnp.int32), down0)
     x, r, *_, k, _down = lax.while_loop(cond, body, state0)
     return BicgstabResult(x, k, _norm(r) / bnorm)
 
