@@ -129,3 +129,31 @@ def test_sharded_fwi_step_8_devices():
 
     g_single = np.asarray(jax.grad(objective)(jnp.asarray(c)))
     assert np.allclose(g, g_single, rtol=1e-6, atol=1e-12)
+
+
+def test_multifreq_25d_matches_compat():
+    'The vmapped ky summation must agree with the MiniZephyr25D class.'
+    from zephyr_tpu.parallel import multifreq_dpred_25d
+    from zephyr_tpu.backend import MiniZephyr25D, SimpleSource
+
+    nz, nx, nky, freq = 48, 40, 3, 80.
+    c = 2500. * np.ones((nz, nx))
+    sc = {
+        'c': c, 'rho': 1., 'nx': nx, 'nz': nz, 'freq': freq,
+        'nky': nky, 'parallel': False,
+        'solverOpts': {'tol': 1e-9, 'maxiter': 600},
+    }
+    src = SimpleSource(sc)
+    sloc = np.array([[10., 12.]])
+    qvec = src(sloc)                       # (nrow, 1)
+    u_compat = (MiniZephyr25D(sc) * qvec).ravel()
+
+    q = qvec.T.reshape((1, 1, nz, nx))     # (nfreq=1, nsrc=1, nz, nx)
+    R = np.eye(nz * nx, dtype=np.complex128)  # extract full wavefield
+    cfg = SolverConfig(tol=1e-9, maxiter=600)
+    d = multifreq_dpred_25d(jnp.asarray(c + 0j), jnp.ones((nz, nx)),
+                            jnp.asarray([freq]), jnp.asarray(q),
+                            jnp.asarray(R), nky=nky, config=cfg)
+    u_fast = np.asarray(d)[0, 0]
+    rel = np.linalg.norm(u_fast - u_compat) / np.linalg.norm(u_compat)
+    assert rel < 1e-6

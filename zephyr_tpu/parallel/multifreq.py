@@ -131,6 +131,54 @@ def multifreq_dpred(c, rho, freqs, q, R, config=SolverConfig(),
     return jnp.einsum('rn,fsn->fsr', R, u0)
 
 
+def multifreq_dpred_25d(c, rho, freqs, q, R, nky, cmin=None,
+                        config=SolverConfig(), Q=np.inf, freqBase=0.0,
+                        **plane_kwargs):
+    '''
+    2.5D forward modelling: Fourier summation over cross-line wavenumbers
+    (the reference's MiniZephyr25D, zephyr/backend/minizephyr.py:346-461),
+    with the ky axis vmapped on device instead of fanned out to a process
+    pool. Returns the data cube (nfreq, nsrc, nrec).
+
+    Per reference semantics: regular ky sampling
+    dky = freq / (cmin (nky-1)); inverse-DFT weights 1 + (ky > 0) with
+    1/(2 nky - 1) normalization folded into per-ky premultipliers; output
+    scaled by exp(i pi) / 4 pi.
+    '''
+
+    if cmin is None:
+        cmin = float(np.min(np.real(np.asarray(c))))
+    freqs = jnp.asarray(freqs)
+    nfreq, nsrc, nz, nx = q.shape
+    weightfac = 1. / (2 * nky - 1) if nky > 1 else 1.
+    scale_term = np.exp(1j * np.pi) / (4 * np.pi)
+
+    def per_freq(freq, q_f):
+        dky = jnp.where(nky > 1, freq / (cmin * max(nky - 1, 1)), 0.)
+        kys = jnp.arange(nky) * dky
+        premuls = weightfac * (1. + (kys > 0))
+
+        def per_ky(ky, premul):
+            ci = viscous_velocity(c, freq, Q, freqBase)
+            planes = minizephyr_planes(ci, rho, freq, ky=ky,
+                                       **plane_kwargs)[None, None]
+            pplanes = minizephyr_planes(
+                shifted_velocity(ci, config.shift), rho, freq, ky=ky,
+                pml_cap=config.pml_cap, **plane_kwargs)[None, None]
+            op = prepare_operator(planes, pplanes, config,
+                                  with_transpose=True)
+            b = (premul.astype(q_f.dtype) * q_f)[:, None]
+            x = jax.vmap(partial(solve, op, config=config))(b)
+            return jnp.conj(x[:, 0])
+
+        u_ky = jax.vmap(per_ky)(kys, premuls)     # (nky, nsrc, nz, nx)
+        u = scale_term * jnp.sum(u_ky, axis=0)    # ky quadrature
+        return jnp.einsum('rn,sn->sr', R,
+                          u.reshape((nsrc, nz * nx)))
+
+    return jax.vmap(per_freq)(freqs, q)
+
+
 def fwi_misfit(c, dobs, *args, **kwargs):
     '0.5 || dpred - dobs ||^2 over the sharded multi-frequency forward.'
 
