@@ -115,6 +115,25 @@ def realio_jit(fn, host_output=False, **jit_kwargs):
     return wrapped
 
 
+@jax.jit
+def _combine(re, im):
+    return lax.complex(re, im)
+
+
+def to_device_complex(x, sharding=None):
+    '''
+    Materialize a host complex array as a device-resident complex array
+    without a complex host->device transfer: upload re/im separately and
+    combine on device.
+    '''
+
+    if not _is_complex_leaf(x):
+        return jax.device_put(np.asarray(x), sharding)
+    re = jax.device_put(np.ascontiguousarray(np.real(x)), sharding)
+    im = jax.device_put(np.ascontiguousarray(np.imag(x)), sharding)
+    return _combine(re, im)
+
+
 def device_put_c(x, sharding=None):
     'device_put a (possibly complex) array via the real-pair boundary.'
 

@@ -138,6 +138,55 @@ def solve_batched_jit(op, b_batch, config):
     return solve_batched(op, b_batch, config)
 
 
+def make_chunked_solver(config=SolverConfig(), chunk=64):
+    '''
+    Host-driven restarted solve: BiCGStab runs in fixed-size device
+    chunks; between chunks the TRUE residual is recomputed and the
+    iteration restarts from the current iterate. Two independent wins:
+
+    - single precision: restarting from the true residual removes the
+      recursive-residual drift that stalls f32 BiCGStab on large grids;
+    - runtime robustness: each device program is short (the experimental
+      TPU runtime kills very long-running loop programs).
+
+    Returns ``solve(op, b_batch) -> (x_batch, chunks_used, relres)`` where
+    b_batch has shape (R, B, nz, nx). Not differentiable (use ``solve``
+    for the autodiff path).
+    '''
+
+    from .krylov import bicgstab
+
+    @jax.jit
+    def chunk_step(op, b, x):
+        def mv(v):
+            return apply_block_stencil(op.planes, v)
+
+        M = _mg_precond(op.hier, config)
+
+        def one(bi, xi):
+            r = bi - mv(xi)
+            res = bicgstab(mv, r, M=M, tol=config.tol, maxiter=chunk)
+            xi = xi + res.x
+            rr = jnp.linalg.norm(bi - mv(xi)) / jnp.linalg.norm(bi)
+            return xi, rr
+
+        return jax.vmap(one)(b, x)
+
+    def solve_chunked(op, b_batch, max_chunks=None):
+        if max_chunks is None:
+            max_chunks = max(1, config.maxiter // chunk)
+        x = jnp.zeros_like(b_batch)
+        rr = None
+        for i in range(max_chunks):
+            x, rr = chunk_step(op, b_batch, x)
+            worst = float(jnp.max(rr).real)
+            if worst <= config.tol:
+                return x, i + 1, worst
+        return x, max_chunks, float(jnp.max(rr).real)
+
+    return solve_chunked
+
+
 def solve_info(op, b, config=SolverConfig()):
     '''
     Like ``solve`` for a single RHS but also returns (iters, relres)
