@@ -205,3 +205,24 @@ def test_flat_and_pickle_datastores(tmp_path):
         assert ds2.systemConfig['nz'] == 9
     finally:
         os.chdir(cwd)
+
+
+def test_timeslice_reconstruction():
+    '''
+    timeSlice must reconstruct a time signal from its per-frequency
+    spectrum (the reference left this as NotImplementedError).
+    '''
+    nfreq = 16
+    freqs = list(np.arange(1, nfreq + 1) * 2.0)   # 2..32 Hz
+    tm = TimeMachine({'freqs': freqs})
+    # synthesize a band-limited signal from known coefficients
+    rng = np.random.default_rng(4)
+    coeffs = rng.standard_normal(nfreq) + 1j * rng.standard_normal(nfreq)
+    taus = np.arange(tm.ns) * tm.dt
+    truth = np.zeros(tm.ns)
+    for fc, f in zip(coeffs, freqs):
+        truth += (2.0 / tm.ns) * np.real(
+            np.conj(fc) * np.exp(2j * np.pi * f * taus))
+    # uF laid out (nfreq, ...) as the solver produces
+    recon = tm.timeSlice(coeffs.reshape(nfreq, 1))[:, 0]
+    assert np.allclose(recon, truth, atol=1e-10)

@@ -170,3 +170,85 @@ def test_datamisfit_zero_at_truth():
     dobs = survey.dpred()
     dm = l2_DataMisfit(survey, dobs)
     assert dm.eval() < 1e-20
+
+
+def test_25d_problem_dot_test():
+    'Helm25DProblem: exact adjoint identity through the ky summation.'
+    from zephyr_tpu.middleware import Helm25DProblem, Helm25DSurvey
+    from zephyr_tpu.backend import MiniZephyr25D
+
+    sc = _config()
+    # reference idiom: distributor chain via remDists; Disc = leaf solver
+    sc['remDists'] = [MiniZephyr25D]
+    sc['nky'] = 3
+    sc['parallel'] = False
+    sc['cmin'] = 2000.
+    problem = Helm25DProblem(sc)
+    survey = Helm25DSurvey(sc)
+    problem.pair(survey)
+
+    rng = np.random.default_rng(9)
+    v = rng.standard_normal(NZ * NX)
+    w = rng.standard_normal(survey.nD) + 1j * rng.standard_normal(survey.nD)
+    Jv = problem.Jvec(v=v)
+    Jtw = problem.Jtvec(v=w)
+    lhs = np.real(np.vdot(w, Jv))
+    rhs = float(np.dot(Jtw, v))
+    assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-5
+
+
+def test_eurus_problem_dot_test():
+    'Eurus-based problem: exact adjoint identity for the TTI operator.'
+    from zephyr_tpu.backend import EurusHD
+
+    sc = _config()
+    sc['Disc'] = EurusHD
+    sc['theta'] = 0.05 * np.ones((NZ, NX))
+    sc['eps'] = 0.1 * np.ones((NZ, NX))
+    sc['delta'] = 0.05 * np.ones((NZ, NX))
+    sc['cPML'] = 1e3
+    problem = Helm2DProblem(sc)
+    survey = Helm2DSurvey(sc)
+    problem.pair(survey)
+
+    rng = np.random.default_rng(10)
+    v = rng.standard_normal(NZ * NX)
+    w = rng.standard_normal(survey.nD) + 1j * rng.standard_normal(survey.nD)
+    Jv = problem.Jvec(v=v)
+    Jtw = problem.Jtvec(v=w)
+    lhs = np.real(np.vdot(w, Jv))
+    rhs = float(np.dot(Jtw, v))
+    assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-5
+
+
+def test_nested_distributor_chain():
+    '''
+    remDists chaining (reference distributors.py:38-53): the outer
+    (frequency) distributor pops the next distributor off the chain, so
+    each frequency subproblem is itself a ky-summing MiniZephyr25D —
+    the reference's multi-frequency 2.5D composition.
+    '''
+    from zephyr_tpu.backend import MultiFreq, MiniZephyr25D, MiniZephyr
+    import numpy as np
+
+    sc = {
+        'Disc': MiniZephyr, 'nx': 30, 'nz': 24,
+        'c': 2000. * np.ones((24, 30)), 'rho': 1.,
+        'freqs': [60., 90.],
+        'remDists': [MiniZephyr25D],
+        'nky': 2, 'parallel': False, 'cmin': 2000.,
+        'solverOpts': {'tol': 1e-6, 'maxiter': 300},
+    }
+    outer = MultiFreq(sc)
+    subs = outer.subProblems
+    assert all(isinstance(s, MiniZephyr25D) for s in subs)
+    # inner wrappers carry the leaf discretization
+    assert all(s.Disc is MiniZephyr for s in subs)
+    q = np.zeros((24 * 30, 1), dtype=np.complex128)
+    q[12 * 30 + 15] = 1.0
+    fields = outer * q
+    assert len(fields) == 2          # one ky-summed wavefield per freq
+    for u in fields:
+        u = np.asarray(u)
+        assert u.shape == (24 * 30, 1)
+        assert np.isfinite(u).all() and np.abs(u).max() > 0

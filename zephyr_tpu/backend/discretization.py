@@ -196,9 +196,17 @@ class DiscretizationWrapper(BaseSCCache):
 
     @property
     def _spConfigs(self):
+        '''
+        Subproblem configs: the stored systemConfig with this wrapper's
+        aggregated maskKeys REMOVED (so e.g. MiniZephyr25D's children do
+        not re-receive Disc/nky and recurse — the reference's galoshes
+        maskKeys semantics), overlaid with each spUpdate.
+        '''
+
+        base = self.maskedConfig
 
         def overlay(spu):
-            config = dict(self.systemConfig)
+            config = dict(base)
             config.update(spu)
             return config
 

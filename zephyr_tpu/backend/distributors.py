@@ -118,8 +118,15 @@ class BaseMPDist(BaseDist):
             def getRHS(i):
                 return rhs
 
-        return [self.scaleTerm * (sub * getRHS(i))
-                for i, sub in enumerate(subs)]
+        def scaled(result):
+            # nested distributors return lists of wavefields; apply the
+            # scale term through them (the reference never exercised
+            # nesting — its pool path would fail the same way)
+            if isinstance(result, list):
+                return [scaled(r) for r in result]
+            return self.scaleTerm * result
+
+        return [scaled(sub * getRHS(i)) for i, sub in enumerate(subs)]
 
 
 class BaseIPYDist(BaseDist):

@@ -71,7 +71,8 @@ class Eurus(BaseDiscretization, BaseAnisotropic):
         cfg = self.solverConfig
         c = shifted_velocity(jnp.asarray(self.c, dtype=cdtype), cfg.shift)
         rho = jnp.asarray(self.rho)
-        return eurus_planes(c, rho, **self._planeKwargs())
+        return eurus_planes(c, rho, pml_cap=cfg.pml_cap,
+                            **self._planeKwargs())
 
     def __mul__(self, rhs):
         '''

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..core.attrmap import BaseSCCache
 from ..backend import (BaseModelDependent, MultiFreq, ViscoMultiFreq,
                        ViscoMultiGridMultiFreq)
-from ..backend.minizephyr import MiniZephyr, MiniZephyrHD
+from ..backend.minizephyr import MiniZephyr, MiniZephyrHD, MiniZephyr25D
 from ..backend.eurus import Eurus, EurusHD
 from ..backend.discretization import default_complex_dtype
 from ..ops.minizephyr_coeff import minizephyr_planes
@@ -150,7 +150,10 @@ class HelmBaseProblem(BaseModelDependent, BaseSCCache):
         Disc = self.systemConfig.get('Disc', MiniZephyr)
         is_eurus = issubclass(Disc, Eurus)
         is_hd = issubclass(Disc, (MiniZephyrHD, EurusHD))
-        return Disc, is_eurus, is_hd
+        is_25d = issubclass(Disc, MiniZephyr25D) or \
+            (int(self.systemConfig.get('nky', 1) or 1) > 1
+             and not is_eurus)
+        return Disc, is_eurus, is_hd, is_25d
 
     def _modelTransform(self, c, freq):
         '''
@@ -186,6 +189,45 @@ class HelmBaseProblem(BaseModelDependent, BaseSCCache):
         opts = self.systemConfig.get('solverOpts', {})
         return SolverConfig(**opts)
 
+    def _solve_25d(self, ci, rho, f, qf_i, cfg, kwargs):
+        '''
+        Per-frequency 2.5D wavefield: Fourier summation over cross-line
+        wavenumbers with the reference MiniZephyr25D conventions
+        (minizephyr.py:380-433). Returns (nrow, nsrc).
+        '''
+
+        import jax as _jax
+        from functools import partial as _partial
+        from ..solver.helmholtz import solve as _solve
+
+        sc = self.systemConfig
+        nky = int(sc.get('nky', 1) or 1)
+        cmin = float(sc.get('cmin', np.min(np.real(
+            np.asarray(self.baseVelocity)))))
+        weightfac = 1. / (2 * nky - 1) if nky > 1 else 1.
+        scale_term = np.exp(1j * np.pi) / (4 * np.pi)
+        dky = f / (cmin * (nky - 1)) if nky > 1 else 0.
+        kys = jnp.arange(nky) * dky
+        premuls = weightfac * (1. + (kys > 0))
+        nz, nx = self.nz, self.nx
+        b_all = qf_i.T.reshape((-1, 1, nz, nx))
+
+        def per_ky(ky, premul):
+            planes = minizephyr_planes(ci, rho, freq=f, ky=ky,
+                                       **kwargs)[None, None]
+            pplanes = minizephyr_planes(
+                shifted_velocity(ci, cfg.shift), rho, freq=f, ky=ky,
+                pml_cap=cfg.pml_cap, **kwargs)[None, None]
+            op = prepare_operator(planes, pplanes, cfg,
+                                  with_transpose=True)
+            b = premul.astype(b_all.dtype) * b_all
+            x = _jax.vmap(_partial(_solve, op, config=cfg))(b)
+            return jnp.conj(x[:, 0])
+
+        u_ky = _jax.vmap(per_ky)(kys, premuls)
+        u = scale_term * jnp.sum(u_ky, axis=0)   # (nsrc, nz, nx)
+        return u.reshape((u.shape[0], nz * nx)).T
+
     def _dpred_fn(self):
         '''
         Build (and cache) the pure, differentiable forward map
@@ -199,7 +241,7 @@ class HelmBaseProblem(BaseModelDependent, BaseSCCache):
         survey = self.survey
         cfg = self.solverConfig
         cdtype = default_complex_dtype()
-        Disc, is_eurus, is_hd = self._discInfo()
+        Disc, is_eurus, is_hd, is_25d = self._discInfo()
         kwargs = self._planeKwargs()
         if is_eurus:
             sc = self.systemConfig
@@ -237,11 +279,20 @@ class HelmBaseProblem(BaseModelDependent, BaseSCCache):
             panels = []
             for i, f in enumerate(freqs):
                 ci = self._modelTransform(c_real, f).astype(cdtype)
+                if is_25d:
+                    u = self._solve_25d(ci, rho, f, qf[i], cfg, kwargs)
+                    if survey.mode == 'fixed':
+                        panels.append(R @ u)
+                    else:
+                        nsrc = qf[i].shape[1]
+                        panels.append(jnp.einsum(
+                            'smn,ns->ms', R.reshape((nsrc, -1, nrow)), u))
+                    continue
                 if is_eurus:
                     planes = eurus_planes(ci, rho, freq=f, **kwargs)
                     pplanes = eurus_planes(
                         shifted_velocity(ci, cfg.shift), rho, freq=f,
-                        **kwargs)
+                        pml_cap=cfg.pml_cap, **kwargs)
                 else:
                     planes = minizephyr_planes(ci, rho, freq=f,
                                                **kwargs)[None, None]

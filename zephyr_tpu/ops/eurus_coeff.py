@@ -49,7 +49,8 @@ def _edge_pad1(arr):
 
 def eurus_planes(c, rho, freq, theta=None, eps=None, delta=None,
                  dx=1.0, dz=1.0, nPML=10, cPML=1e3, tau=jnp.inf,
-                 freeSurf=(False, False, False, False), pml=True):
+                 freeSurf=(False, False, False, False), pml=True,
+                 pml_cap=None):
     '''
     Build the (2, 2, 9, nz, nx) coefficient planes of the Eurus operator.
 
@@ -62,6 +63,9 @@ def eurus_planes(c, rho, freq, theta=None, eps=None, delta=None,
         freeSurf: kept for API parity (the Eurus boundary treatment does
             not branch on it; eurus.py:466-485)
         pml: if False, Xi = 1 everywhere (clean preconditioner variant)
+        pml_cap: if set, limit the PML decay gamma to pml_cap * |omega|
+            (preconditioner-only: bounds the complex stretch so multigrid
+            smoothing stays stable; see ops/minizephyr_coeff.py)
 
     Returns:
         (2, 2, 9, nz, nx) complex planes.
@@ -107,6 +111,13 @@ def eurus_planes(c, rho, freq, theta=None, eps=None, delta=None,
             cPML * jnp.cos((jnp.pi / 2) * (z_vals / pmldz)))
         gamma_z = gamma_z.at[-nPML:].set(
             cPML * jnp.cos((jnp.pi / 2) * (z_vals[::-1] / pmldz)))
+
+        if pml_cap is not None:
+            cap = pml_cap * jnp.abs(omegaDamped)
+            gamma_x = gamma_x * jnp.minimum(
+                1.0, cap / jnp.maximum(jnp.abs(gamma_x), 1e-30))
+            gamma_z = gamma_z * jnp.minimum(
+                1.0, cap / jnp.maximum(jnp.abs(gamma_z), 1e-30))
 
         gamma_x = _edge_pad1(gamma_x)
         gamma_z = _edge_pad1(gamma_z)

@@ -80,7 +80,7 @@ def build_multifreq_ops(c, rho, freqs, config=SolverConfig(), ky=0.0,
                                   **plane_kwargs)
             pplanes = eurus_planes(
                 shifted_velocity(ci, config.shift), rho, freq,
-                **eurus_params, **plane_kwargs)
+                pml_cap=config.pml_cap, **eurus_params, **plane_kwargs)
         return prepare_operator(planes, pplanes, config,
                                 with_transpose=True)
 

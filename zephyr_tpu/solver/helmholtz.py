@@ -167,7 +167,9 @@ def make_chunked_solver(config=SolverConfig(), chunk=64):
             r = bi - mv(xi)
             res = bicgstab(mv, r, M=M, tol=config.tol, maxiter=chunk)
             xi = xi + res.x
-            rr = jnp.linalg.norm(bi - mv(xi)) / jnp.linalg.norm(bi)
+            bnorm = jnp.linalg.norm(bi)
+            bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
+            rr = jnp.linalg.norm(bi - mv(xi)) / bnorm
             return xi, rr
 
         return jax.vmap(one)(b, x)
