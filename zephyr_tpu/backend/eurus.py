@@ -60,19 +60,13 @@ class Eurus(BaseDiscretization, BaseAnisotropic):
                     tau=self.tau,
                     freeSurf=tuple(bool(f) for f in self.freeSurf))
 
-    def _buildPlanes(self):
-        cdtype = default_complex_dtype()
-        c = jnp.asarray(self.c, dtype=cdtype)
-        rho = jnp.asarray(self.rho)
+    def _planesFromFields(self, c, rho):
         return eurus_planes(c, rho, **self._planeKwargs())
 
-    def _buildPrecondPlanes(self):
-        cdtype = default_complex_dtype()
+    def _precondPlanesFromFields(self, c, rho):
         cfg = self.solverConfig
-        c = shifted_velocity(jnp.asarray(self.c, dtype=cdtype), cfg.shift)
-        rho = jnp.asarray(self.rho)
-        return eurus_planes(c, rho, pml_cap=cfg.pml_cap,
-                            **self._planeKwargs())
+        return eurus_planes(shifted_velocity(c, cfg.shift), rho,
+                            pml_cap=cfg.pml_cap, **self._planeKwargs())
 
     def __mul__(self, rhs):
         '''

@@ -57,18 +57,13 @@ class MiniZephyr(BaseDiscretization):
                     tau=self.tau, freeSurf=tuple(bool(f)
                                                  for f in self.freeSurf))
 
-    def _buildPlanes(self):
-        cdtype = default_complex_dtype()
-        c = jnp.asarray(self.c, dtype=cdtype)
-        rho = jnp.asarray(self.rho)
+    def _planesFromFields(self, c, rho):
         return minizephyr_planes(c, rho, **self._planeKwargs())[None, None]
 
-    def _buildPrecondPlanes(self):
-        cdtype = default_complex_dtype()
+    def _precondPlanesFromFields(self, c, rho):
         cfg = self.solverConfig
-        c = shifted_velocity(jnp.asarray(self.c, dtype=cdtype), cfg.shift)
-        rho = jnp.asarray(self.rho)
-        return minizephyr_planes(c, rho, pml_cap=cfg.pml_cap,
+        return minizephyr_planes(shifted_velocity(c, cfg.shift), rho,
+                                 pml_cap=cfg.pml_cap,
                                  **self._planeKwargs())[None, None]
 
 
