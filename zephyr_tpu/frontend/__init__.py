@@ -7,4 +7,5 @@ from .jobs import (Job, ForwardModelingJob, InversionJob, Visco2DJob,
                    IsotropicVisco2DJob, AnisotropicVisco2DJob, IniInputJob,
                    PythonInputJob, PickleInputJob, UtoutOutputJob,
                    PickleOutputJob, OmegaIOJob, OmegaJob, PythonUtoutJob,
-                   AnisoOmegaJob, AnisoPythonUtoutJob, OmegaInversionJob)
+                   AnisoOmegaJob, AnisoPythonUtoutJob, OmegaInversionJob,
+                   MigrationJob, OmegaMigrationJob)

@@ -100,11 +100,14 @@ zephyr.add_command(inspect)
 
 @click.command()
 @click.argument('projnm')
-def migrate(projnm):
-    'Run a migration (single-iteration adjoint imaging)'
+@click.option('--job', default='OmegaMigrationJob', help='The job to run')
+def migrate(projnm, job):
+    'Run a migration (single adjoint-state gradient image)'
 
-    click.echo('Migration is not implemented yet (as in the reference); '
-               'use `zephyr-tpu invert --maxiter 1` for a gradient image.')
+    from . import jobs
+    jClass = getattr(jobs, job)
+    assert issubclass(jClass, jobs.Job)
+    jClass(projnm).run()
 zephyr.add_command(migrate)
 
 

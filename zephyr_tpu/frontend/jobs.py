@@ -213,5 +213,36 @@ class AnisoPythonUtoutJob(AnisotropicVisco2DJob, ForwardModelingJob,
     'TTI anisotropic PythonUtoutJob (parity: jobs.py:227-230).'
 
 
+class MigrationJob(InversionJob):
+    '''
+    Migration task: a single adjoint-state gradient (reverse-time image)
+    at the starting model, written in the FULLWV gradient-file convention
+    (projnm1.gvp). (The reference's `zephyr migrate` was a print-only
+    stub, cli.py:60-66.)
+    '''
+
+    def run(self):
+
+        print('Running %s(%s) migration...'
+              % (self.__class__.__name__, self.projnm))
+        dobs = self.getObservedData()
+        m0 = np.real(np.asarray(self.systemConfig['c'])).ravel()
+        _, g = self.problem.misfit_and_gradient(
+            m0.reshape(self.problem.nz, self.problem.nx), dobs)
+        self.saveImage(g)
+        print('Done!')
+        return g
+
+    def saveImage(self, g):
+        from ..middleware.segy import writeSEGY
+        image = g.reshape((self.problem.nz, self.problem.nx))
+        writeSEGY('%s1.gvp' % self.projnm, image.T)
+        print('\t- wrote %s1.gvp' % self.projnm)
+
+
 class OmegaInversionJob(IsotropicVisco2DJob, InversionJob, OmegaIOJob):
     'FWI against an OMEGA project directory (new in zephyr_tpu).'
+
+
+class OmegaMigrationJob(IsotropicVisco2DJob, MigrationJob, OmegaIOJob):
+    'Adjoint-state migration against an OMEGA project directory.'
