@@ -117,16 +117,18 @@ def measure_lu_baseline(n, nsrc):
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
     import jax
+    # the LU baseline runs in the parent process: never initialize the
+    # (possibly wedged) TPU backend here
+    jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     from zephyr_tpu.ops.minizephyr_coeff import minizephyr_planes
     from zephyr_tpu.ops.stencil import OFFSETS
 
     cval = 1500.0
     freq = cval / BENCH_WAVELEN_CELLS
-    with jax.default_device(jax.devices('cpu')[0]):
-        planes = np.asarray(minizephyr_planes(
-            (cval * jnp.ones((LU_N, LU_N))).astype(jnp.complex64),
-            jnp.ones((LU_N, LU_N), jnp.float32), freq))
+    planes = np.asarray(minizephyr_planes(
+        (cval * jnp.ones((LU_N, LU_N))).astype(jnp.complex64),
+        jnp.ones((LU_N, LU_N), jnp.float32), freq))
 
     nz = nx = LU_N
     N0 = nz * nx
