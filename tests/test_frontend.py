@@ -62,3 +62,38 @@ def test_cli_pack_unpack(project):
     r = runner.invoke(zephyr, ['unpack', project])
     assert r.exit_code == 0, r.output
     assert 'nx' in r.output
+
+
+def test_cli_invert_and_migrate(project):
+    'invert and migrate against observed utobs data files.'
+    from zephyr_tpu.frontend.jobs import OmegaJob
+
+    # make observed data from a perturbed model, then reset the start model
+    true_model = 2000. * np.ones((40, 30))
+    true_model[12:20, 10:18] -= 150.
+    writeSEGY('demo.vp', true_model, format=5)
+    data = OmegaJob('demo').run()
+    for i, f in enumerate([50., 100.]):
+        panel = data[:, :, i]
+        inter = np.empty((2 * panel.shape[1], panel.shape[0]))
+        inter[0::2] = panel.T.real
+        inter[1::2] = panel.T.imag
+        writeSEGY('demo.utobs%0.3f' % f, inter, format=5)
+    writeSEGY('demo.vp', 2000. * np.ones((40, 30)), format=5)
+
+    runner = CliRunner()
+    r = runner.invoke(zephyr, ['migrate', 'demo'])
+    assert r.exit_code == 0, r.output
+    assert os.path.exists('demo1.gvp')
+    from zephyr_tpu.middleware.segy import SEGYFile
+    img = SEGYFile('demo1.gvp')[:].T
+    assert np.abs(img).max() > 0
+
+    r = runner.invoke(zephyr, ['invert', 'demo', '--maxiter', '2'])
+    assert r.exit_code == 0, r.output
+    assert os.path.exists('demo1.vp')
+
+    r = runner.invoke(zephyr, ['clean', 'demo', '--yes'])
+    assert r.exit_code == 0, r.output
+    assert not os.path.exists('demo1.vp')
+    assert not os.path.exists('demo.utout')

@@ -75,3 +75,28 @@ def test_free_surface_mirroring():
     # mirrored stamp must differ from the unmirrored one
     q2 = SparseKaiserSource(dict(CONFIG))(np.array([[50., 1.5]])).toarray()
     assert _elementNorm(q - q2) > 0
+
+
+def test_device_stamps_match_sparse():
+    'Padded-stamp inject/extract equals the sparse-matrix semantics.'
+    import jax.numpy as jnp
+    from zephyr_tpu.ops.kaiser import pad_stamps, inject, extract
+
+    config = dict(CONFIG, freeSurf=(False, True, True, False))
+    sks = SparseKaiserSource(config)
+    locs = np.array([[7.3, 9.6], [50., 50.], [2.1, 3.4], [98.6, 97.2]])
+    q_sparse = np.asarray(sks(locs).todense())         # (nrow, nsrc)
+
+    rows, cols, vals = sks.stamps(locs)
+    cols_p, vals_p = pad_stamps(rows, cols, vals, len(locs))
+
+    # injection: dense fields match the sparse columns
+    fields = np.asarray(inject(cols_p, vals_p, 100, 100))
+    assert np.allclose(fields.reshape(4, -1).T, q_sparse, atol=1e-14)
+
+    # extraction: gather output equals the sparse matvec q^T u
+    rng = np.random.default_rng(8)
+    u = rng.standard_normal((100, 100)) + 1j * rng.standard_normal((100, 100))
+    d_gather = np.asarray(extract(jnp.asarray(u), cols_p, vals_p))
+    d_sparse = q_sparse.T @ u.ravel()
+    assert np.allclose(d_gather, d_sparse, atol=1e-12)
