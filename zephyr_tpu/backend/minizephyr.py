@@ -13,9 +13,6 @@ are solved as a vmapped batch on device rather than a multiprocessing pool.
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
 from ..core.attrmap import BaseSCCache
 from ..ops.minizephyr_coeff import minizephyr_planes
 from ..solver.helmholtz import shifted_velocity
