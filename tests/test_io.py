@@ -226,3 +226,14 @@ def test_timeslice_reconstruction():
     # uF laid out (nfreq, ...) as the solver produces
     recon = tm.timeSlice(coeffs.reshape(nfreq, 1))[:, 0]
     assert np.allclose(recon, truth, atol=1e-10)
+
+
+def test_fft_matches_dft():
+    'The FFT fast path must match the explicit Vandermonde DFT.'
+    rng = np.random.default_rng(6)
+    ns = 32
+    a = rng.standard_normal((3, ns))
+    tm = TimeMachine({'freqs': list(np.arange(1, ns // 2 + 1))})
+    A_dft = tm.dft(a)[:, :ns // 2]
+    A_fft = tm.fft(a)
+    assert np.allclose(A_fft, A_dft, atol=1e-12)
