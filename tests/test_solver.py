@@ -119,3 +119,23 @@ def test_gradient_through_planes_fd():
     # JAX convention for real-valued f of complex z: df = Re(sum(g * dz))
     pred = jnp.real(jnp.sum(g * dc))
     assert abs(float(fd) - float(pred)) / abs(float(fd)) < 1e-4
+
+
+def test_gmres_outer_matches_lu():
+    'The GMRES outer-solver option converges to the same solution.'
+    cfg = SolverConfig(tol=1e-8, maxiter=400, krylov='gmres',
+                       gmres_restart=40)
+    nz, nx = 96, 64
+    c = CVAL * jnp.ones((nz, nx), dtype=jnp.complex128)
+    rho = jnp.ones((nz, nx))
+    planes = minizephyr_planes(c, rho, FREQ)[None, None]
+    pplanes = minizephyr_planes(shifted_velocity(c, cfg.shift), rho,
+                                FREQ, pml_cap=cfg.pml_cap)[None, None]
+    op = prepare_operator(planes, pplanes, cfg, with_transpose=False)
+    q = np.zeros((1, nz, nx), dtype=np.complex128)
+    q[0, nz // 2, nx // 2] = 1.0
+    x = np.asarray(solve(op, jnp.asarray(q), cfg)).ravel()
+    A = planes_to_dense(np.asarray(op.planes[0, 0]))
+    x_lu = np.linalg.solve(A, q.ravel())
+    rel = np.linalg.norm(x - x_lu) / np.linalg.norm(x_lu)
+    assert rel < 1e-5

@@ -28,7 +28,7 @@ from jax import lax
 
 from ..ops.stencil import apply_block_stencil, transpose_block_planes
 from .multigrid import build_hierarchy, transpose_hierarchy, v_cycle
-from .krylov import bicgstab
+from .krylov import bicgstab, gmres
 
 
 class SolverConfig(NamedTuple):
@@ -50,6 +50,8 @@ class SolverConfig(NamedTuple):
     shift: complex = 0.5j     # shifted-Laplacian beta (k^2 -> (1-beta) k^2)
     mg_coarse: str = 'lu'     # 'lu' (dense direct) or 'iterative'
     pml_cap: float = 1.0      # preconditioner PML strength cap (x |omega|)
+    krylov: str = 'bicgstab'  # outer iteration: 'bicgstab' or 'gmres'
+    gmres_restart: int = 40
 
 
 def shifted_velocity(c, shift=0.5j):
@@ -110,16 +112,22 @@ def solve(op, b, config=SolverConfig()):
     M = _mg_precond(op.hier, config)
     MT = _mg_precond(op.hierT, config) if op.hierT is not None else None
 
-    def solve_fn(matvec, rhs):
-        return bicgstab(matvec, rhs, M=M, tol=config.tol,
+    def krylov_solve(matvec, rhs, Mfn):
+        if config.krylov == 'gmres':
+            return gmres(matvec, rhs, M=Mfn, tol=config.tol,
+                         maxiter=config.maxiter,
+                         restart=config.gmres_restart).x
+        return bicgstab(matvec, rhs, M=Mfn, tol=config.tol,
                         maxiter=config.maxiter).x
+
+    def solve_fn(matvec, rhs):
+        return krylov_solve(matvec, rhs, M)
 
     if op.hierT is None:
         return lax.custom_linear_solve(mv, b, solve_fn)
 
     def tsolve_fn(vecmat, rhs):
-        return bicgstab(vecmat, rhs, M=MT, tol=config.tol,
-                        maxiter=config.maxiter).x
+        return krylov_solve(vecmat, rhs, MT)
 
     return lax.custom_linear_solve(mv, b, solve_fn,
                                    transpose_solve=tsolve_fn)
@@ -154,7 +162,7 @@ def make_chunked_solver(config=SolverConfig(), chunk=64):
     for the autodiff path).
     '''
 
-    from .krylov import bicgstab
+    from .krylov import bicgstab, gmres
 
     @jax.jit
     def chunk_step(op, b, x):
