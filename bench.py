@@ -46,13 +46,17 @@ def measure_tpu(n, nsrc):
     from zephyr_tpu.core.realio import realio_jit
     from zephyr_tpu.ops.minizephyr_coeff import minizephyr_planes
     from zephyr_tpu.solver.helmholtz import (SolverConfig, prepare_operator,
-                                             solve_batched,
-                                             shifted_velocity, solve_info)
+                                             make_chunked_solver,
+                                             shifted_velocity)
 
     cval = 1500.0
     freq = cval / BENCH_WAVELEN_CELLS  # wavelength in cells at dx=1
     cfg = SolverConfig(tol=1e-5, maxiter=2000, mg_coarse='iterative',
                        mg_min_size=32)
+    # Short device programs: the axon runtime kills its worker on very
+    # long loop programs (the un-chunked 2048^2 solve crashes it), and
+    # chunk restarts also remove f32 recursive-residual drift.
+    chunk = int(os.environ.get('ZT_BENCH_CHUNK', 16))
 
     # complex arrays never cross the host<->device boundary (realio)
     def prep_fn(c_real):
@@ -64,45 +68,40 @@ def measure_tpu(n, nsrc):
         return prepare_operator(planes, pplanes, cfg,
                                 with_transpose=False)
 
-    def solve_fn(op, b):
-        x = solve_batched(op, b, cfg)
-        # scalar checksum: forces completion under runtimes whose
-        # block_until_ready is unreliable, and keeps transfers tiny
-        return jnp.sum(jnp.real(x)), jnp.sum(jnp.imag(x))
-
-    def info_fn(op, b):
-        _, iters, relres = solve_info(op, b, cfg)
-        return iters, relres
+    def make_rhs(pos):
+        # delta sources built on device from (nsrc, 2) positions: the RHS
+        # never crosses the host<->device boundary (tunnel transfers of
+        # dense fields dominate wall-clock under axon)
+        q = jnp.zeros((pos.shape[0], 1, n, n), jnp.complex64)
+        return q.at[jnp.arange(pos.shape[0]), 0, pos[:, 0], pos[:, 1]].set(
+            1.0 + 0.0j)
 
     c_real = cval * np.ones((n, n), dtype=np.float32)
     op = realio_jit(prep_fn)(jnp.asarray(c_real))
 
     rng = np.random.default_rng(0)
-    q = np.zeros((nsrc, 1, n, n), dtype=np.complex64)
-    for i in range(nsrc):
-        q[i, 0, rng.integers(n // 8, 7 * n // 8),
-          rng.integers(n // 8, 7 * n // 8)] = 1.0
+    pos = rng.integers(n // 8, 7 * n // 8, size=(nsrc, 2)).astype(np.int32)
+    b = realio_jit(make_rhs)(pos)   # device-resident C-pair RHS
 
-    solve_rio = realio_jit(solve_fn, host_output=True)
+    solver = make_chunked_solver(cfg, chunk=chunk)
 
     # warm-up / compile
-    cs = solve_rio(op, q)
+    _, iters, relres = solver(op, b)
 
     times = []
     for _ in range(BENCH_REPEATS):
         t0 = time.time()
-        cs = solve_rio(op, q)
-        _ = float(np.asarray(cs[0]))   # host readback = hard sync point
+        _, iters, relres = solver(op, b)
         times.append(time.time() - t0)
     t = min(times)
 
-    iters, relres = realio_jit(info_fn)(op, q[0])
     info = {
         'iters': int(iters),
         'relres': float(relres),
         'device': str(jax.devices()[0]),
         'freq_hz': freq,
         'wavelengths_across': n / BENCH_WAVELEN_CELLS,
+        'chunk': chunk,
     }
     return nsrc / t, info
 

@@ -121,6 +121,42 @@ def test_gradient_through_planes_fd():
     assert abs(float(fd) - float(pred)) / abs(float(fd)) < 1e-4
 
 
+def test_hybrid_layered_medium_matches_lu():
+    '''
+    Heterogeneous robustness: on a strong velocity gradient (1500->3000)
+    the MG-only preconditioned BiCGStab diverges at scale; the hybrid
+    (spectral + MG) preconditioner must converge to LU accuracy.
+    '''
+    cfg = SolverConfig(tol=1e-8, maxiter=600)
+    nz, nx = 128, 96
+    z = jnp.arange(nz, dtype=jnp.float64)[:, None] * jnp.ones((1, nx))
+    c = (1500.0 * (1.0 + z / nz)).astype(jnp.complex128)
+    rho = jnp.ones((nz, nx))
+    planes = minizephyr_planes(c, rho, 120.0)[None, None]
+    pplanes = minizephyr_planes(shifted_velocity(c, cfg.shift), rho,
+                                120.0, pml_cap=cfg.pml_cap)[None, None]
+    op = prepare_operator(planes, pplanes, cfg, with_transpose=False)
+    q = np.zeros((1, nz, nx), dtype=np.complex128)
+    q[0, 30, 40] = 1.0
+    x = np.asarray(solve(op, jnp.asarray(q), cfg)).ravel()
+    lu = _lu(op.planes)
+    x_lu = lu.solve(q.ravel())
+    assert np.linalg.norm(x - x_lu) / np.linalg.norm(x_lu) < 1e-5
+
+
+def test_mg_only_precond_matches_lu():
+    'The plain-MG preconditioner option remains available and correct.'
+    cfg = SolverConfig(tol=1e-8, maxiter=600, precond='mg')
+    op = _operator(cfg=cfg)
+    q = np.zeros((1, NZ, NX), dtype=np.complex128)
+    q[0, 25, 25] = 1.0
+    x = np.asarray(solve(op, jnp.asarray(q), cfg)).ravel()
+    lu = _lu(op.planes)
+    x_lu = lu.solve(q.ravel())
+    assert np.linalg.norm(x - x_lu) / np.linalg.norm(x_lu) < 1e-5
+    assert op.fft_sinv is None
+
+
 def test_gmres_outer_matches_lu():
     'The GMRES outer-solver option converges to the same solution.'
     cfg = SolverConfig(tol=1e-8, maxiter=400, krylov='gmres',

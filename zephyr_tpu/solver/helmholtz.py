@@ -22,6 +22,8 @@ discretization.py:79-103). Differences by design:
 from functools import partial
 from typing import NamedTuple, Any
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -52,6 +54,9 @@ class SolverConfig(NamedTuple):
     pml_cap: float = 1.0      # preconditioner PML strength cap (x |omega|)
     krylov: str = 'bicgstab'  # outer iteration: 'bicgstab' or 'gmres'
     gmres_restart: int = 40
+    precond: str = 'hybrid'   # 'hybrid' (spectral + MG) or 'mg'
+    fft_shift: complex = 0.2j  # CSLP shift of the spectral coarse solve
+    fft_delta: float = 1e-3   # relative symbol-magnitude clamp
 
 
 def shifted_velocity(c, shift=0.5j):
@@ -67,13 +72,81 @@ def shifted_velocity(c, shift=0.5j):
 class HelmholtzOperator(NamedTuple):
     '''
     A prepared Helmholtz system: coefficient planes plus the multigrid
-    hierarchies (forward and transposed) built from the *shifted* operator.
-    This is a pytree, so it can be passed through jit/vmap/shard_map.
+    hierarchies (forward and transposed) built from the *shifted* operator,
+    and (for the hybrid preconditioner) the regularized inverse Fourier
+    symbol of the interior operator. This is a pytree, so it can be passed
+    through jit/vmap/shard_map.
     '''
 
     planes: Any       # (B, B, 9, nz, nx)
     hier: Any         # MGHierarchy of the shifted operator
     hierT: Any        # MGHierarchy of the transposed shifted operator
+    fft_sinv: Any = None   # (B, B, nz, nx) inverse interior symbol
+    planesT: Any = None    # transposed true planes (hybrid transpose path)
+
+
+def _mean_interior_coeffs(planes):
+    '''
+    Mean stencil coefficients (B, B, 9) over the central quarter window,
+    which excludes the boundary ring, the PML frame, and free-surface rows
+    for any sensible nPML < min(nz, nx)/4.
+    '''
+
+    nz, nx = planes.shape[-2:]
+    z0, z1 = nz // 4, max(nz // 4 + 1, (3 * nz) // 4)
+    x0, x1 = nx // 4, max(nx // 4 + 1, (3 * nx) // 4)
+    return jnp.mean(planes[..., z0:z1, x0:x1], axis=(-2, -1))
+
+
+def _fft_symbol_inverse(planes, precond_planes, config):
+    '''
+    Regularized inverse Fourier symbol of the constant-coefficient interior
+    operator, at the spectral CSLP shift ``config.fft_shift``.
+
+    The true operator decomposes as A = L + M (Laplacian-like + mass), and
+    the CSLP substitution multiplies the mass term by (1 - shift)
+    (see ``shifted_velocity``), so with mean interior coefficients c0 of
+    the true planes and cP of the ``config.shift``-shifted precond planes,
+    the mass coefficients are cM = (c0 - cP) / shift and the symbol at any
+    other shift is assembled analytically — no third plane build.
+
+    Returns (B, B, nz, nx) pointwise-inverse blocks (B <= 2), with the
+    symbol determinant clamped to ``fft_delta`` times its max magnitude so
+    near-resonant Fourier modes stay bounded.
+    '''
+
+    from ..ops.stencil import OFFSETS
+
+    c0 = _mean_interior_coeffs(planes)            # (B, B, 9) true
+    cP = _mean_interior_coeffs(precond_planes)    # (B, B, 9) shifted
+    shift = jnp.asarray(config.shift, dtype=c0.dtype)
+    cM = (c0 - cP) / shift
+    cF = c0 - jnp.asarray(config.fft_shift, dtype=c0.dtype) * cM
+
+    B = planes.shape[0]
+    nz, nx = planes.shape[-2:]
+    kz = (2 * jnp.pi) * jnp.fft.fftfreq(nz).astype(jnp.real(c0).dtype)
+    kx = (2 * jnp.pi) * jnp.fft.fftfreq(nx).astype(jnp.real(c0).dtype)
+    KZ, KX = jnp.meshgrid(kz, kx, indexing='ij')
+    phases = jnp.stack([jnp.exp(1j * (KZ * dz + KX * dx))
+                        for (dz, dx) in OFFSETS], axis=0)  # (9, nz, nx)
+    sym = jnp.einsum('ijs,szx->ijzx', cF, phases)
+
+    def _clamp(d):
+        a = jnp.abs(d)
+        dmin = config.fft_delta * jnp.max(a)
+        scale = jnp.where(a < dmin, dmin / jnp.maximum(a, 1e-30), 1.0)
+        return d * scale.astype(d.dtype)
+
+    if B == 1:
+        return (1.0 / _clamp(sym[0, 0]))[None, None]
+    if B == 2:
+        a, bb = sym[0, 0], sym[0, 1]
+        c, d = sym[1, 0], sym[1, 1]
+        det = _clamp(a * d - bb * c)
+        inv = jnp.stack([jnp.stack([d, -bb], 0), jnp.stack([-c, a], 0)], 0)
+        return inv / det
+    raise NotImplementedError('hybrid preconditioner: B > 2')
 
 
 def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
@@ -82,8 +155,8 @@ def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
     Build a HelmholtzOperator from coefficient planes. ``precond_planes``
     are the planes of the complex-shifted operator (defaults to the true
     planes, which works but converges more slowly at high frequency).
-    The hierarchies are built under stop_gradient: the preconditioner does
-    not participate in differentiation.
+    The hierarchies and spectral symbol are built under stop_gradient: the
+    preconditioner does not participate in differentiation.
     '''
 
     if precond_planes is None:
@@ -92,7 +165,61 @@ def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
     hier = build_hierarchy(pp, min_size=config.mg_min_size,
                            coarse=config.mg_coarse)
     hierT = transpose_hierarchy(hier) if with_transpose else None
-    return HelmholtzOperator(planes, hier, hierT)
+    sinv = None
+    planesT = None
+    if config.precond == 'hybrid':
+        sinv = _fft_symbol_inverse(lax.stop_gradient(planes), pp, config)
+        if with_transpose:
+            planesT = transpose_block_planes(lax.stop_gradient(planes))
+    return HelmholtzOperator(planes, hier, hierT, sinv, planesT)
+
+
+def _make_precond(op, config, transpose=False):
+    '''
+    The preconditioner application r -> M r (a fixed linear operator).
+
+    'mg': one V-cycle on the shifted hierarchy.
+    'hybrid': spectral interior solve + V-cycle correction,
+        M r = P r + V (r - A P r),
+    where P inverts the mean interior symbol in Fourier space (exact for
+    the interior of homogeneous media) and the V-cycle absorbs what P
+    cannot represent (PML frame, boundary rows, heterogeneity). Measured
+    at 512^2 / 32 wavelengths: 112 -> 25 outer iterations homogeneous, and
+    converges on layered/random media where MG-only BiCGStab diverges.
+
+    With ``transpose=True`` returns M^T (the exact transpose under the
+    bilinear form, as required by custom_linear_solve's transpose solve):
+    M^T = P^T + (I - P^T A^T) V^T, with P^T = F D^T F^{-1} since the DFT
+    matrix is symmetric.
+    '''
+
+    hier = op.hierT if transpose else op.hier
+    mg = lambda r: v_cycle(hier, r, omega=config.mg_omega,
+                           nu1=config.mg_nu1, nu2=config.mg_nu2)
+    if op.fft_sinv is None:
+        return mg
+
+    sinv = op.fft_sinv
+    planes = op.planesT if transpose else op.planes
+    planes = lax.stop_gradient(planes)
+    if transpose:
+        sinv = jnp.swapaxes(sinv, 0, 1)
+
+    if transpose:
+        def P(r):
+            R = jnp.fft.ifft2(r)
+            return jnp.fft.fft2(jnp.einsum('ijzx,...jzx->...izx', sinv, R))
+    else:
+        def P(r):
+            R = jnp.fft.fft2(r)
+            return jnp.fft.ifft2(jnp.einsum('ijzx,...jzx->...izx', sinv, R))
+
+    def M(r):
+        x1 = P(r)
+        r2 = r - apply_block_stencil(planes, x1)
+        return x1 + mg(r2)
+
+    return M
 
 
 def _mg_precond(hier, config):
@@ -109,8 +236,9 @@ def solve(op, b, config=SolverConfig()):
     def mv(x):
         return apply_block_stencil(op.planes, x)
 
-    M = _mg_precond(op.hier, config)
-    MT = _mg_precond(op.hierT, config) if op.hierT is not None else None
+    M = _make_precond(op, config)
+    MT = (_make_precond(op, config, transpose=True)
+          if op.hierT is not None else None)
 
     def krylov_solve(matvec, rhs, Mfn):
         if config.krylov == 'gmres':
@@ -155,21 +283,28 @@ def make_chunked_solver(config=SolverConfig(), chunk=64):
     - single precision: restarting from the true residual removes the
       recursive-residual drift that stalls f32 BiCGStab on large grids;
     - runtime robustness: each device program is short (the experimental
-      TPU runtime kills very long-running loop programs).
+      TPU runtime kills its worker on very long-running loop programs —
+      empirically, the un-chunked 2048^2 batched solve crashes it while
+      16-iteration chunks run fine).
 
-    Returns ``solve(op, b_batch) -> (x_batch, chunks_used, relres)`` where
-    b_batch has shape (R, B, nz, nx). Not differentiable (use ``solve``
-    for the autodiff path).
+    All device entry points go through the realio boundary, so this is
+    the large-grid path on TPU runtimes without complex host<->device
+    transfer. ``b_batch`` may be a numpy/jnp complex array or an
+    already-device-resident C-pair pytree.
+
+    Returns ``solve(op, b_batch) -> (x_batch, iters, relres)`` where
+    b_batch has shape (R, B, nz, nx) and x_batch is a device-resident
+    C-pair pytree (use ``zephyr_tpu.core.realio.join_complex_host`` to
+    materialize it). Not differentiable (use ``solve`` for autodiff).
     '''
 
-    from .krylov import bicgstab, gmres
+    from ..core.realio import realio_jit
 
-    @jax.jit
     def chunk_step(op, b, x):
         def mv(v):
             return apply_block_stencil(op.planes, v)
 
-        M = _mg_precond(op.hier, config)
+        M = _make_precond(op, config)
 
         def one(bi, xi):
             r = bi - mv(xi)
@@ -178,21 +313,35 @@ def make_chunked_solver(config=SolverConfig(), chunk=64):
             bnorm = jnp.linalg.norm(bi)
             bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
             rr = jnp.linalg.norm(bi - mv(xi)) / bnorm
-            return xi, rr
+            return xi, rr, res.iters
 
-        return jax.vmap(one)(b, x)
+        x, rr, its = jax.vmap(one)(b, x)
+        return x, jnp.max(rr), jnp.max(its)
+
+    def zeros_like_fn(b):
+        return jnp.zeros_like(b)
+
+    step_rio = realio_jit(chunk_step)
+    zeros_rio = realio_jit(zeros_like_fn)
 
     def solve_chunked(op, b_batch, max_chunks=None):
+        from ..core.realio import device_put_c, C
         if max_chunks is None:
             max_chunks = max(1, config.maxiter // chunk)
-        x = jnp.zeros_like(b_batch)
-        rr = None
+        # upload b once (as real pairs); every chunk then reuses the
+        # device-resident copy instead of re-transferring the batch
+        if not isinstance(b_batch, C):
+            b_batch = device_put_c(np.asarray(b_batch))
+        x = zeros_rio(b_batch)
+        iters = 0
+        worst = None
         for i in range(max_chunks):
-            x, rr = chunk_step(op, b_batch, x)
-            worst = float(jnp.max(rr).real)
+            x, rr, its = step_rio(op, b_batch, x)
+            worst = float(np.asarray(rr))
+            iters += int(np.asarray(its))
             if worst <= config.tol:
-                return x, i + 1, worst
-        return x, max_chunks, float(jnp.max(rr).real)
+                break
+        return x, iters, worst
 
     return solve_chunked
 
@@ -206,6 +355,6 @@ def solve_info(op, b, config=SolverConfig()):
     def mv(x):
         return apply_block_stencil(op.planes, x)
 
-    res = bicgstab(mv, b, M=_mg_precond(op.hier, config),
+    res = bicgstab(mv, b, M=_make_precond(op, config),
                    tol=config.tol, maxiter=config.maxiter)
     return res.x, res.iters, res.relres
