@@ -55,7 +55,9 @@ class SolverConfig(NamedTuple):
     krylov: str = 'bicgstab'  # outer iteration: 'bicgstab' or 'gmres'
     gmres_restart: int = 40
     precond: str = 'hybrid'   # 'hybrid' (spectral + MG) or 'mg'
-    fft_shift: complex = 0.2j  # CSLP shift of the spectral coarse solve
+    fft_shift: Any = 'auto'   # CSLP shift of the spectral solve (complex,
+                              # or 'auto': 0.03j near-homogeneous / 0.25j
+                              # heterogeneous, from the mass-plane contrast)
     fft_delta: float = 1e-3   # relative symbol-magnitude clamp
 
 
@@ -121,7 +123,26 @@ def _fft_symbol_inverse(planes, precond_planes, config):
     cP = _mean_interior_coeffs(precond_planes)    # (B, B, 9) shifted
     shift = jnp.asarray(config.shift, dtype=c0.dtype)
     cM = (c0 - cP) / shift
-    cF = c0 - jnp.asarray(config.fft_shift, dtype=c0.dtype) * cM
+
+    fft_shift = config.fft_shift
+    if isinstance(fft_shift, str):  # 'auto'
+        # Spatial contrast of the mass term (pointwise (A - A_shift)/shift
+        # center plane ~ omega^2 / c^2): a small spectral shift is optimal
+        # when the interior symbol is exact (near-homogeneous media), but
+        # destabilizes the outer iteration under strong heterogeneity —
+        # measured: 0.03 gives 48 vs 128 iterations at 2048^2 homogeneous,
+        # while layered 1500->3000 m/s media need >= 0.25 to converge.
+        from ..ops.stencil import CENTER
+        nz, nx = planes.shape[-2:]
+        z0, z1 = nz // 4, max(nz // 4 + 1, (3 * nz) // 4)
+        x0, x1 = nx // 4, max(nx // 4 + 1, (3 * nx) // 4)
+        mass = (planes[0, 0, CENTER, z0:z1, x0:x1]
+                - precond_planes[0, 0, CENTER, z0:z1, x0:x1]) / shift
+        ma = jnp.abs(mass)
+        tiny = jnp.finfo(ma.dtype).tiny
+        contrast = jnp.sqrt(jnp.max(ma) / jnp.maximum(jnp.min(ma), tiny))
+        fft_shift = jnp.where(contrast < 1.05, 0.03, 0.25) * 1j
+    cF = c0 - jnp.asarray(fft_shift).astype(c0.dtype) * cM
 
     B = planes.shape[0]
     nz, nx = planes.shape[-2:]
