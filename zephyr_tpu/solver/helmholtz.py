@@ -49,6 +49,7 @@ class SolverConfig(NamedTuple):
     mg_nu1: int = 2           # pre-smoothing sweeps
     mg_nu2: int = 2           # post-smoothing sweeps
     mg_min_size: int = 32     # coarsest-grid size for the dense solve
+    mg_coarse_iters: int = 12  # coarse BiCGStab cap (iterative coarse)
     shift: complex = 0.5j     # shifted-Laplacian beta (k^2 -> (1-beta) k^2)
     mg_coarse: str = 'lu'     # 'lu' (dense direct) or 'iterative'
     pml_cap: float = 1.0      # preconditioner PML strength cap (x |omega|)
@@ -216,7 +217,8 @@ def _make_precond(op, config, transpose=False):
 
     hier = op.hierT if transpose else op.hier
     mg = lambda r: v_cycle(hier, r, omega=config.mg_omega,
-                           nu1=config.mg_nu1, nu2=config.mg_nu2)
+                           nu1=config.mg_nu1, nu2=config.mg_nu2,
+                           coarse_iters=config.mg_coarse_iters)
     if op.fft_sinv is None:
         return mg
 
@@ -241,11 +243,6 @@ def _make_precond(op, config, transpose=False):
         return x1 + mg(r2)
 
     return M
-
-
-def _mg_precond(hier, config):
-    return lambda r: v_cycle(hier, r, omega=config.mg_omega,
-                             nu1=config.mg_nu1, nu2=config.mg_nu2)
 
 
 def solve(op, b, config=SolverConfig()):
