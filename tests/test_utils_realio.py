@@ -77,6 +77,40 @@ def test_pallas_stencil_interpret_matches_reference():
     assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 1e-5
 
 
+def test_pallas_batched_stencil_interpret_matches_reference():
+    from zephyr_tpu.ops.pallas_stencil import (apply_stencil_pallas_batched,
+                                               pallas_batched_applicable)
+    from zephyr_tpu.ops.stencil import apply_stencil
+
+    R, nz, nx = 3, 16, 128
+    planes = jnp.asarray(
+        (RNG.standard_normal((9, nz, nx))
+         + 1j * RNG.standard_normal((9, nz, nx))).astype(np.complex64))
+    u = jnp.asarray((RNG.standard_normal((R, nz, nx))
+                     + 1j * RNG.standard_normal((R, nz, nx))
+                     ).astype(np.complex64))
+    assert pallas_batched_applicable(planes, u)
+    ref = jax.vmap(lambda x: apply_stencil(planes, x))(u)
+    out = apply_stencil_pallas_batched(planes, u, interpret=True)
+    assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 1e-5
+
+
+def test_fast_apply_vmap_dispatch_matches_reference():
+    'custom_vmap fast path (jnp fallback on CPU) equals the plain apply.'
+    from zephyr_tpu.ops.stencil import (apply_block_stencil,
+                                        apply_block_stencil_fast)
+
+    R, B, nz, nx = 2, 2, 12, 20
+    planes = jnp.asarray(
+        RNG.standard_normal((B, B, 9, nz, nx))
+        + 1j * RNG.standard_normal((B, B, 9, nz, nx)))
+    u = jnp.asarray(RNG.standard_normal((R, B, nz, nx))
+                    + 1j * RNG.standard_normal((R, B, nz, nx)))
+    ref = jax.vmap(lambda x: apply_block_stencil(planes, x))(u)
+    out = jax.vmap(lambda x: apply_block_stencil_fast(planes, x))(u)
+    assert float(jnp.abs(out - ref).max()) < 1e-12
+
+
 def test_profiling_decorators():
     from zephyr_tpu.utils import timeIt, count, stats
 

@@ -136,3 +136,155 @@ def pallas_applicable(planes, u):
     TX = min(512, nx)
     return (nz % TZ == 0 and nx % TX == 0 and nz >= 8 and nx >= 128
             and planes.dtype == jnp.complex64)
+
+
+# ---------------------------------------------------------------------------
+# Batched apply: one kernel over a (R, nz, nx) field batch. XLA fuses the
+# 9-offset apply well at <= 512^2 but falls apart at 2048^2 (measured
+# 20.4 ms for R=16 — exactly the 27-pass unfused-traffic prediction);
+# this kernel streams each halo window once.
+# ---------------------------------------------------------------------------
+
+
+def _apply_kernel_batched(pr_ref, pi_ref, ur_hbm, ui_hbm, or_ref, oi_ref,
+                          ur_tile, ui_tile, sem, *, TZ, TX):
+    '''
+    Grid (nz/TZ, nx/TX, R); u refs are the padded (R, nzp, nxp) arrays.
+    Halo-window DMA is double-buffered: each step starts the next step's
+    copy before computing, hiding the (strided, latency-bound) halo
+    transfer behind the 9-offset FMA work.
+    '''
+
+    iz = pl.program_id(0)
+    jx = pl.program_id(1)
+    r = pl.program_id(2)
+    nJ = pl.num_programs(1)
+    nR = pl.num_programs(2)
+    total = pl.num_programs(0) * nJ * nR
+
+    step = (iz * nJ + jx) * nR + r
+    slot = lax.rem(step, jnp.int32(2))
+    nslot = 1 - slot
+
+    @pl.when(step == 0)
+    def _():
+        cr = pltpu.make_async_copy(
+            ur_hbm.at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            ur_tile.at[0], sem.at[0, 0])
+        ci = pltpu.make_async_copy(
+            ui_hbm.at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            ui_tile.at[0], sem.at[0, 1])
+        cr.start()
+        ci.start()
+
+    nstep = step + 1
+
+    @pl.when(nstep < total)
+    def _():
+        nr = lax.rem(nstep, jnp.int32(nR))
+        t1 = nstep // nR
+        njx = lax.rem(t1, jnp.int32(nJ))
+        niz = t1 // nJ
+        cr = pltpu.make_async_copy(
+            ur_hbm.at[nr, pl.ds(niz * TZ, TZ + 8), pl.ds(njx * TX, TX + 128)],
+            ur_tile.at[nslot], sem.at[nslot, 0])
+        ci = pltpu.make_async_copy(
+            ui_hbm.at[nr, pl.ds(niz * TZ, TZ + 8), pl.ds(njx * TX, TX + 128)],
+            ui_tile.at[nslot], sem.at[nslot, 1])
+        cr.start()
+        ci.start()
+
+    cr = pltpu.make_async_copy(
+        ur_hbm.at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+        ur_tile.at[slot], sem.at[slot, 0])
+    ci = pltpu.make_async_copy(
+        ui_hbm.at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+        ui_tile.at[slot], sem.at[slot, 1])
+    cr.wait()
+    ci.wait()
+
+    urt = ur_tile.at[slot]
+    uit = ui_tile.at[slot]
+    acc_r = jnp.zeros((TZ, TX), jnp.float32)
+    acc_i = jnp.zeros((TZ, TX), jnp.float32)
+    for k, (dz, dx) in enumerate(OFFSETS):
+        ur = urt[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
+        ui = uit[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
+        pr = pr_ref[k]
+        pi = pi_ref[k]
+        acc_r += pr * ur - pi * ui
+        acc_i += pr * ui + pi * ur
+    or_ref[0] = acc_r
+    oi_ref[0] = acc_i
+
+
+@partial(jax.jit, static_argnames=('interpret',))
+def apply_stencil_pallas_batched(planes, u, interpret=False):
+    '''
+    Pallas-fused batched stencil apply: planes (9, nz, nx) complex64,
+    u (R, nz, nx) complex64 -> (R, nz, nx). The batch axis is the
+    innermost grid dimension so consecutive steps reuse the resident
+    coefficient tile (Mosaic dedupes same-index block fetches).
+    Measured at 2048^2 x 16 RHS: 8.8 ms vs 18.6 ms for the XLA lowering
+    (which stops fusing the 9-offset apply at this size).
+
+    No AD rules: use only where gradients are not traced through (the
+    preconditioner and the non-differentiable chunked/info solvers).
+    '''
+
+    R, nz, nx = u.shape
+    TZ = min(128, nz)
+    TX = min(512, nx)
+    assert nz % TZ == 0 and nx % TX == 0
+
+    pr = jnp.real(planes).astype(jnp.float32)
+    pi = jnp.imag(planes).astype(jnp.float32)
+    up = jnp.pad(u, ((0, 0), (1, 7), (1, 127)))
+    ur = jnp.real(up).astype(jnp.float32)
+    ui = jnp.imag(up).astype(jnp.float32)
+
+    grid = (nz // TZ, nx // TX, R)
+    kernel = partial(_apply_kernel_batched, TZ=TZ, TX=TX)
+
+    out_r, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((9, TZ, TX), lambda i, j, r: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, TZ, TX), lambda i, j, r: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, nz, nx), jnp.float32),
+            jax.ShapeDtypeStruct((R, nz, nx), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(pr, pi, ur, ui)
+
+    return lax.complex(out_r, out_i)
+
+
+def pallas_batched_applicable(planes, u):
+    'Whether the batched fused kernel supports these shapes/dtypes.'
+
+    if planes.ndim != 3 or u.ndim != 3:
+        return False
+    nz, nx = u.shape[-2:]
+    TZ = min(128, nz)
+    TX = min(512, nx)
+    return (nz % TZ == 0 and nx % TX == 0 and nz >= 8 and nx >= 128
+            and planes.dtype == jnp.complex64 and u.dtype == jnp.complex64)

@@ -30,6 +30,7 @@ where dz indexes the slow (z, first) axis and dx the fast (x, second) axis.
 '''
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -98,6 +99,62 @@ def apply_stencil(planes, u):
             1 + dx, 1 + dx + nx, axis=u.ndim - 1)
         out = term if out is None else out + term
     return out
+
+
+def _pallas_wanted():
+    'Pallas fast path: on TPU backends unless explicitly disabled.'
+
+    import os
+    if os.environ.get('ZEPHYR_TPU_NO_PALLAS'):
+        return False
+    try:
+        import jax
+        return jax.default_backend() in ('tpu', 'axon')
+    except Exception:
+        return False
+
+
+@jax.custom_batching.custom_vmap
+def _apply_scalar_fast(planes, u):
+    'Scalar 9-point apply; under vmap dispatches to the Pallas kernel.'
+
+    return apply_stencil(planes, u)
+
+
+@_apply_scalar_fast.def_vmap
+def _apply_scalar_fast_vmap(axis_size, in_batched, planes, u):
+    planes_b, u_b = in_batched
+    if (u_b and not planes_b and _pallas_wanted()):
+        from .pallas_stencil import (apply_stencil_pallas_batched,
+                                     pallas_batched_applicable)
+        if pallas_batched_applicable(planes, u):
+            return apply_stencil_pallas_batched(planes, u), True
+    if u_b and not planes_b:
+        return apply_stencil(planes, u), True
+    fn = jax.vmap(apply_stencil,
+                  in_axes=(0 if planes_b else None, 0 if u_b else None))
+    return fn(planes, u), True
+
+
+def apply_block_stencil_fast(planes, u):
+    '''
+    Same contract as ``apply_block_stencil``, but eligible for the fused
+    Pallas kernel when vmapped on TPU. The Pallas kernel has no AD rules:
+    use ONLY where gradients are not traced through — the multigrid /
+    spectral preconditioner internals and the non-differentiable chunked
+    and info solvers. (``lax.custom_linear_solve`` differentiates its
+    matvec, so the operator apply in ``solve`` must stay on the jnp path.)
+    '''
+
+    B = planes.shape[0]
+    rows = []
+    for i in range(B):
+        acc = None
+        for j in range(B):
+            term = _apply_scalar_fast(planes[i, j], u[..., j, :, :])
+            acc = term if acc is None else acc + term
+        rows.append(acc)
+    return jnp.stack(rows, axis=-3)
 
 
 def transpose_planes(planes):

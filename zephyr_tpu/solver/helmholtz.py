@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.stencil import apply_block_stencil, transpose_block_planes
+from ..ops.stencil import (apply_block_stencil, apply_block_stencil_fast,
+                           transpose_block_planes)
 from .multigrid import build_hierarchy, transpose_hierarchy, v_cycle
 from .krylov import bicgstab, gmres
 
@@ -239,7 +240,7 @@ def _make_precond(op, config, transpose=False):
 
     def M(r):
         x1 = P(r)
-        r2 = r - apply_block_stencil(planes, x1)
+        r2 = r - apply_block_stencil_fast(planes, x1)
         return x1 + mg(r2)
 
     return M
@@ -319,8 +320,10 @@ def make_chunked_solver(config=SolverConfig(), chunk=64):
     from ..core.realio import realio_jit
 
     def chunk_step(op, b, x):
+        # the chunked solver is non-differentiable by contract, so the
+        # matvec itself can take the fused fast path
         def mv(v):
-            return apply_block_stencil(op.planes, v)
+            return apply_block_stencil_fast(op.planes, v)
 
         M = _make_precond(op, config)
 
@@ -371,7 +374,7 @@ def solve_info(op, b, config=SolverConfig()):
     '''
 
     def mv(x):
-        return apply_block_stencil(op.planes, x)
+        return apply_block_stencil_fast(op.planes, x)
 
     res = bicgstab(mv, b, M=_make_precond(op, config),
                    tol=config.tol, maxiter=config.maxiter)

@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops import stencil
-from ..ops.stencil import (apply_block_stencil, block_diag,
-                           invert_block_diag, block_diag_matvec,
+from ..ops.stencil import (apply_block_stencil, apply_block_stencil_fast,
+                           block_diag, invert_block_diag, block_diag_matvec,
                            planes_to_dense_jax)
 
 #: per-axis prolongation weights for offsets (-1, 0, +1)
@@ -109,17 +109,26 @@ def galerkin_coarsen(planes):
 
 
 def restrict(v):
-    'Full-weighting restriction of (..., nz, nx) to the coarse grid.'
+    '''
+    Full-weighting restriction of (..., nz, nx) to the coarse grid:
+    out[I, J] = 0.25 sum_{a,b} w(a) w(b) v[2I+a, 2J+b].
 
+    Implemented as a separable [0.5, 1, 0.5] tent filter followed by
+    reshape-based decimation — the strided-gather formulation degrades
+    superlinearly on TPU at large sizes (measured 79 -> 31 ms per
+    2048^2 x 16 transfer pair).
+    '''
+
+    from ..ops.stencil import shift2d
     nz, nx = v.shape[-2:]
     nzc, nxc = _coarse_extent(nz), _coarse_extent(nx)
-    acc = None
-    for az in (-1, 0, 1):
-        for ax in (-1, 0, 1):
-            term = (0.25 * _W[az + 1] * _W[ax + 1]) * _strided_gather(
-                v, az, ax, nzc, nxc)
-            acc = term if acc is None else acc + term
-    return acc
+    t = v + 0.5 * (shift2d(v, 1, 0) + shift2d(v, -1, 0))
+    t = t + 0.5 * (shift2d(t, 0, 1) + shift2d(t, 0, -1))
+    t = 0.25 * t
+    pz, px = 2 * nzc - nz, 2 * nxc - nx
+    t = jnp.pad(t, [(0, 0)] * (t.ndim - 2) + [(0, pz), (0, px)])
+    t = t.reshape(t.shape[:-2] + (nzc, 2, nxc, 2))
+    return t[..., :, 0, :, 0]
 
 
 def prolong(vc, nz, nx):
@@ -245,10 +254,10 @@ def build_hierarchy(planes, min_size=16, max_levels=16, coarse='lu'):
 
 
 def _smooth(level, u, b, omega, nsweeps):
-    'Damped block-Jacobi sweeps.'
+    'Damped block-Jacobi sweeps. (Preconditioner-only: fast apply is OK.)'
 
     def body(_, u):
-        r = b - apply_block_stencil(level.planes, u)
+        r = b - apply_block_stencil_fast(level.planes, u)
         return u + omega * block_diag_matvec(level.dinv, r)
     return lax.fori_loop(0, nsweeps, body, u)
 
@@ -296,7 +305,7 @@ def v_cycle(hier, b, omega=0.6, nu1=2, nu2=2, level=0, coarse_iters=None):
 
     u = jnp.zeros_like(b)
     u = _smooth(lvl, u, b, omega, nu1)
-    r = b - apply_block_stencil(lvl.planes, u)
+    r = b - apply_block_stencil_fast(lvl.planes, u)
     rc = restrict(lvl.mask * r)
     ec = v_cycle(hier, rc, omega, nu1, nu2, level + 1, coarse_iters)
     nz, nx = b.shape[-2:]
