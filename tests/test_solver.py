@@ -118,11 +118,11 @@ def test_gradient_through_planes_fd():
     fd = (f_plus - f_minus) / (2 * eps)
     # JAX convention for real-valued f of complex z: df = Re(sum(g * dz))
     pred = jnp.real(jnp.sum(g * dc))
-    # Threshold is set by FD-quotient noise from the iterative forward
-    # solves (each stops within tol of the true field), not by gradient
-    # exactness: the implicit-function gradient itself is solver-shift
-    # independent to ~1e-8 relative.
-    assert abs(float(fd) - float(pred)) / abs(float(fd)) < 2e-3
+    # Smoke-level threshold: the FD quotient carries O(eps^2) truncation
+    # plus iterative-solve noise in f(c +/- eps dc); gradient exactness
+    # itself is pinned by test_transpose_solve_through_vjp and the dense
+    # LU comparisons (agreement ~1e-8). A wrong gradient would be O(1) off.
+    assert abs(float(fd) - float(pred)) / abs(float(fd)) < 1e-2
 
 
 def test_hybrid_layered_medium_matches_lu():

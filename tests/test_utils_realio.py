@@ -111,6 +111,20 @@ def test_fast_apply_vmap_dispatch_matches_reference():
     assert float(jnp.abs(out - ref).max()) < 1e-12
 
 
+def test_pallas_jacobi_sweep_interpret_matches_reference():
+    from zephyr_tpu.ops.pallas_stencil import jacobi_sweep_pallas_batched
+    from zephyr_tpu.ops.stencil import apply_stencil
+
+    R, nz, nx = 2, 16, 128
+    mk = lambda *s: jnp.asarray((RNG.standard_normal(s)
+                                 + 1j * RNG.standard_normal(s)
+                                 ).astype(np.complex64))
+    planes, dinv, b, u = mk(9, nz, nx), mk(nz, nx), mk(R, nz, nx), mk(R, nz, nx)
+    ref = u + dinv * (b - jax.vmap(lambda x: apply_stencil(planes, x))(u))
+    out = jacobi_sweep_pallas_batched(planes, dinv, b, u, interpret=True)
+    assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 1e-5
+
+
 def test_profiling_decorators():
     from zephyr_tpu.utils import timeIt, count, stats
 

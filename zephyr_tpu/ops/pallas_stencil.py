@@ -278,6 +278,154 @@ def apply_stencil_pallas_batched(planes, u, interpret=False):
     return lax.complex(out_r, out_i)
 
 
+def _jacobi_kernel_batched(pr_ref, pi_ref, dr_ref, di_ref, br_ref, bi_ref,
+                           ur_hbm, ui_hbm, or_ref, oi_ref,
+                           ur_tile, ui_tile, sem, *, TZ, TX):
+    '''
+    Fused damped-Jacobi sweep: u' = u + Dinv_eff (b - A u), with
+    Dinv_eff = omega * Dinv pre-multiplied by the caller. Same
+    double-buffered halo-window scheme as ``_apply_kernel_batched``.
+    '''
+
+    iz = pl.program_id(0)
+    jx = pl.program_id(1)
+    r = pl.program_id(2)
+    nJ = pl.num_programs(1)
+    nR = pl.num_programs(2)
+    total = pl.num_programs(0) * nJ * nR
+
+    step = (iz * nJ + jx) * nR + r
+    slot = lax.rem(step, jnp.int32(2))
+    nslot = 1 - slot
+
+    @pl.when(step == 0)
+    def _():
+        cr = pltpu.make_async_copy(
+            ur_hbm.at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            ur_tile.at[0], sem.at[0, 0])
+        ci = pltpu.make_async_copy(
+            ui_hbm.at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            ui_tile.at[0], sem.at[0, 1])
+        cr.start()
+        ci.start()
+
+    nstep = step + 1
+
+    @pl.when(nstep < total)
+    def _():
+        nr = lax.rem(nstep, jnp.int32(nR))
+        t1 = nstep // nR
+        njx = lax.rem(t1, jnp.int32(nJ))
+        niz = t1 // nJ
+        cr = pltpu.make_async_copy(
+            ur_hbm.at[nr, pl.ds(niz * TZ, TZ + 8), pl.ds(njx * TX, TX + 128)],
+            ur_tile.at[nslot], sem.at[nslot, 0])
+        ci = pltpu.make_async_copy(
+            ui_hbm.at[nr, pl.ds(niz * TZ, TZ + 8), pl.ds(njx * TX, TX + 128)],
+            ui_tile.at[nslot], sem.at[nslot, 1])
+        cr.start()
+        ci.start()
+
+    cr = pltpu.make_async_copy(
+        ur_hbm.at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+        ur_tile.at[slot], sem.at[slot, 0])
+    ci = pltpu.make_async_copy(
+        ui_hbm.at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+        ui_tile.at[slot], sem.at[slot, 1])
+    cr.wait()
+    ci.wait()
+
+    urt = ur_tile.at[slot]
+    uit = ui_tile.at[slot]
+    acc_r = jnp.zeros((TZ, TX), jnp.float32)
+    acc_i = jnp.zeros((TZ, TX), jnp.float32)
+    for k, (dz, dx) in enumerate(OFFSETS):
+        ur = urt[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
+        ui = uit[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
+        pr = pr_ref[k]
+        pi = pi_ref[k]
+        acc_r += pr * ur - pi * ui
+        acc_i += pr * ui + pi * ur
+    # r = b - A u; u' = u_c + Dinv_eff r
+    rr = br_ref[0] - acc_r
+    ri = bi_ref[0] - acc_i
+    uc_r = urt[1:1 + TZ, 1:1 + TX]
+    uc_i = uit[1:1 + TZ, 1:1 + TX]
+    dr = dr_ref[...]
+    di = di_ref[...]
+    or_ref[0] = uc_r + dr * rr - di * ri
+    oi_ref[0] = uc_i + dr * ri + di * rr
+
+
+@partial(jax.jit, static_argnames=('interpret',))
+def jacobi_sweep_pallas_batched(planes, dinv_eff, b, u, interpret=False):
+    '''
+    One fused damped-Jacobi sweep u' = u + dinv_eff * (b - A u) for a
+    (R, nz, nx) batch; ``dinv_eff`` is the (nz, nx) pointwise inverse
+    diagonal already multiplied by the damping factor. No AD rules.
+    '''
+
+    R, nz, nx = u.shape
+    # smaller z-tile than the plain apply: the extra dinv/b blocks (each
+    # pipeline-double-buffered by Mosaic) blow the 16 MB scoped-VMEM
+    # limit at (128, 512)
+    TZ = min(64, nz)
+    TX = min(512, nx)
+    assert nz % TZ == 0 and nx % TX == 0
+
+    pr = jnp.real(planes).astype(jnp.float32)
+    pi = jnp.imag(planes).astype(jnp.float32)
+    dr = jnp.real(dinv_eff).astype(jnp.float32)
+    di = jnp.imag(dinv_eff).astype(jnp.float32)
+    br = jnp.real(b).astype(jnp.float32)
+    bi = jnp.imag(b).astype(jnp.float32)
+    up = jnp.pad(u, ((0, 0), (1, 7), (1, 127)))
+    ur = jnp.real(up).astype(jnp.float32)
+    ui = jnp.imag(up).astype(jnp.float32)
+
+    grid = (nz // TZ, nx // TX, R)
+    kernel = partial(_jacobi_kernel_batched, TZ=TZ, TX=TX)
+
+    out_r, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((9, TZ, TX), lambda i, j, r: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, TZ, TX), lambda i, j, r: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TZ, TX), lambda i, j, r: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TZ, TX), lambda i, j, r: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, nz, nx), jnp.float32),
+            jax.ShapeDtypeStruct((R, nz, nx), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(pr, pi, dr, di, br, bi, ur, ui)
+
+    return lax.complex(out_r, out_i)
+
+
 def pallas_batched_applicable(planes, u):
     'Whether the batched fused kernel supports these shapes/dtypes.'
 
@@ -285,6 +433,18 @@ def pallas_batched_applicable(planes, u):
         return False
     nz, nx = u.shape[-2:]
     TZ = min(128, nz)
+    TX = min(512, nx)
+    return (nz % TZ == 0 and nx % TX == 0 and nz >= 8 and nx >= 128
+            and planes.dtype == jnp.complex64 and u.dtype == jnp.complex64)
+
+
+def pallas_jacobi_applicable(planes, u):
+    'Whether the fused Jacobi-sweep kernel supports these shapes/dtypes.'
+
+    if planes.ndim != 3 or u.ndim != 3:
+        return False
+    nz, nx = u.shape[-2:]
+    TZ = min(64, nz)
     TX = min(512, nx)
     return (nz % TZ == 0 and nx % TX == 0 and nz >= 8 and nx >= 128
             and planes.dtype == jnp.complex64 and u.dtype == jnp.complex64)

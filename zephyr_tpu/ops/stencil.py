@@ -136,6 +136,38 @@ def _apply_scalar_fast_vmap(axis_size, in_batched, planes, u):
     return fn(planes, u), True
 
 
+@jax.custom_batching.custom_vmap
+def _jacobi_scalar_fast(planes, dinv_eff, b, u):
+    'One damped-Jacobi sweep; under vmap dispatches to the fused kernel.'
+
+    r = b - apply_stencil(planes, u)
+    return u + dinv_eff * r
+
+
+@_jacobi_scalar_fast.def_vmap
+def _jacobi_scalar_fast_vmap(axis_size, in_batched, planes, dinv_eff, b, u):
+    planes_b, dinv_b, b_b, u_b = in_batched
+    if (u_b and b_b and not planes_b and not dinv_b and _pallas_wanted()):
+        from .pallas_stencil import (jacobi_sweep_pallas_batched,
+                                     pallas_jacobi_applicable)
+        if pallas_jacobi_applicable(planes, u):
+            return jacobi_sweep_pallas_batched(planes, dinv_eff, b, u), True
+    ax = lambda flag: 0 if flag else None
+    fn = jax.vmap(lambda p, d, bb, uu: uu + d * (bb - apply_stencil(p, uu)),
+                  in_axes=(ax(planes_b), ax(dinv_b), ax(b_b), ax(u_b)))
+    return fn(planes, dinv_eff, b, u), True
+
+
+def jacobi_sweep_fast(planes, dinv_eff, b, u):
+    '''
+    Fused damped-Jacobi sweep u' = u + dinv_eff * (b - A u) for a scalar
+    (B=1) operator; eligible for the Pallas kernel when vmapped on TPU.
+    Preconditioner-internal only (no AD rules on the fast path).
+    '''
+
+    return _jacobi_scalar_fast(planes, dinv_eff, b, u)
+
+
 def apply_block_stencil_fast(planes, u):
     '''
     Same contract as ``apply_block_stencil``, but eligible for the fused

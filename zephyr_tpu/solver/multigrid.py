@@ -256,6 +256,20 @@ def build_hierarchy(planes, min_size=16, max_levels=16, coarse='lu'):
 def _smooth(level, u, b, omega, nsweeps):
     'Damped block-Jacobi sweeps. (Preconditioner-only: fast apply is OK.)'
 
+    B = level.planes.shape[0]
+    if B == 1:
+        # scalar operator: fused sweep (apply + diag-inverse + update in
+        # one pass; Pallas on TPU when vmapped)
+        from ..ops.stencil import jacobi_sweep_fast
+        dinv_eff = omega * level.dinv[0, 0]
+        planes00 = level.planes[0, 0]
+
+        def body(_, u):
+            u0 = jacobi_sweep_fast(planes00, dinv_eff, b[..., 0, :, :],
+                                   u[..., 0, :, :])
+            return u0[..., None, :, :]
+        return lax.fori_loop(0, nsweeps, body, u)
+
     def body(_, u):
         r = b - apply_block_stencil_fast(level.planes, u)
         return u + omega * block_diag_matvec(level.dinv, r)
