@@ -108,7 +108,10 @@ def test_jvec_matches_finite_difference():
     fd = (d_plus - d_minus) / (2 * eps)
 
     rel = np.linalg.norm(Jv - fd) / np.linalg.norm(fd)
-    assert rel < 1e-3
+    # Smoke-level threshold: FD truncation + iterative-solve noise in
+    # d_pred(c +/- eps dm); Jvec exactness itself is pinned by
+    # test_jvec_jtvec_dot_product. A wrong Jvec would be O(1) off.
+    assert rel < 5e-3
 
 
 def test_misfit_gradient_finite_difference():

@@ -184,8 +184,12 @@ def make_dd_solver(mesh, config=None, axis_name='x'):
         hier = build_hierarchy(lax.stop_gradient(pplanes_local),
                                min_size=cfg.mg_min_size,
                                coarse='iterative')
+        # MG-only additive Schwarz is much more coarse-solve-sensitive
+        # than the hybrid preconditioner: keep a high iteration cap here
+        # regardless of the global default.
         M_local = lambda r: v_cycle(hier, r, omega=cfg.mg_omega,
-                                    nu1=cfg.mg_nu1, nu2=cfg.mg_nu2)
+                                    nu1=cfg.mg_nu1, nu2=cfg.mg_nu2,
+                                    coarse_iters=max(cfg.mg_coarse_iters, 48))
         return sharded_bicgstab(planes_local, b_local, M_local,
                                 axis_name, tol=cfg.tol,
                                 maxiter=cfg.maxiter)

@@ -54,7 +54,11 @@ class SolverConfig(NamedTuple):
     shift: complex = 0.5j     # shifted-Laplacian beta (k^2 -> (1-beta) k^2)
     mg_coarse: str = 'lu'     # 'lu' (dense direct) or 'iterative'
     pml_cap: float = 1.0      # preconditioner PML strength cap (x |omega|)
-    krylov: str = 'bicgstab'  # outer iteration: 'bicgstab' or 'gmres'
+    krylov: str = 'auto'      # 'auto' (bicgstab for scalar systems,
+                              # gmres for block/TTI systems — BiCGStab's
+                              # short recurrence diverges on the Eurus
+                              # 2x2 block system in complex64),
+                              # 'bicgstab', or 'gmres'
     gmres_restart: int = 40
     precond: str = 'hybrid'   # 'hybrid' (spectral + MG) or 'mg'
     fft_shift: Any = 'auto'   # CSLP shift of the spectral solve (complex,
@@ -138,12 +142,18 @@ def _fft_symbol_inverse(planes, precond_planes, config):
         nz, nx = planes.shape[-2:]
         z0, z1 = nz // 4, max(nz // 4 + 1, (3 * nz) // 4)
         x0, x1 = nx // 4, max(nx // 4 + 1, (3 * nx) // 4)
-        mass = (planes[0, 0, CENTER, z0:z1, x0:x1]
-                - precond_planes[0, 0, CENTER, z0:z1, x0:x1]) / shift
-        ma = jnp.abs(mass)
-        tiny = jnp.finfo(ma.dtype).tiny
-        contrast = jnp.sqrt(jnp.max(ma) / jnp.maximum(jnp.min(ma), tiny))
-        fft_shift = jnp.where(contrast < 1.05, 0.03, 0.25) * 1j
+        if planes.shape[0] > 1:
+            # block (TTI) systems: the small near-homogeneous shift makes
+            # the outer iteration diverge; use the damped setting always
+            fft_shift = 0.25j
+        else:
+            mass = (planes[0, 0, CENTER, z0:z1, x0:x1]
+                    - precond_planes[0, 0, CENTER, z0:z1, x0:x1]) / shift
+            ma = jnp.abs(mass)
+            tiny = jnp.finfo(ma.dtype).tiny
+            contrast = jnp.sqrt(jnp.max(ma)
+                                / jnp.maximum(jnp.min(ma), tiny))
+            fft_shift = jnp.where(contrast < 1.05, 0.03, 0.25) * 1j
     cF = c0 - jnp.asarray(fft_shift).astype(c0.dtype) * cM
 
     B = planes.shape[0]
@@ -151,9 +161,14 @@ def _fft_symbol_inverse(planes, precond_planes, config):
     kz = (2 * jnp.pi) * jnp.fft.fftfreq(nz).astype(jnp.real(c0).dtype)
     kx = (2 * jnp.pi) * jnp.fft.fftfreq(nx).astype(jnp.real(c0).dtype)
     KZ, KX = jnp.meshgrid(kz, kx, indexing='ij')
-    phases = jnp.stack([jnp.exp(1j * (KZ * dz + KX * dx))
-                        for (dz, dx) in OFFSETS], axis=0)  # (9, nz, nx)
-    sym = jnp.einsum('ijs,szx->ijzx', cF, phases)
+    # explicit multiply-add, NOT einsum: an einsum contraction lowers to
+    # an MXU dot at default (bfloat16) precision on TPU, which destroys
+    # the near-cancelling Laplacian part of the symbol (measured 23%
+    # error in the inverse symbol -> divergent outer iteration)
+    sym = jnp.zeros((B, B, nz, nx), dtype=c0.dtype)
+    for k, (dz, dx) in enumerate(OFFSETS):
+        phase = jnp.exp(1j * (KZ * dz + KX * dx)).astype(c0.dtype)
+        sym = sym + cF[:, :, k, None, None] * phase
 
     def _clamp(d):
         a = jnp.abs(d)
@@ -197,6 +212,18 @@ def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
     return HelmholtzOperator(planes, hier, hierT, sinv, planesT)
 
 
+def _effective_krylov(config, block_size):
+    '''
+    Resolve krylov='auto': BiCGStab for scalar (B=1) operators, GMRES
+    for block systems (the Eurus TTI 2x2 system makes BiCGStab's short
+    recurrence diverge in complex64; restarted GMRES is monotone).
+    '''
+
+    if config.krylov != 'auto':
+        return config.krylov
+    return 'gmres' if block_size > 1 else 'bicgstab'
+
+
 def _make_precond(op, config, transpose=False):
     '''
     The preconditioner application r -> M r (a fixed linear operator).
@@ -229,14 +256,27 @@ def _make_precond(op, config, transpose=False):
     if transpose:
         sinv = jnp.swapaxes(sinv, 0, 1)
 
+    def _sinv_apply(R):
+        # explicit block multiply-add (B <= 2): einsum would contract on
+        # the MXU at bfloat16 default precision on TPU
+        B = sinv.shape[0]
+        outs = []
+        for i in range(B):
+            acc = None
+            for j in range(B):
+                term = sinv[i, j] * R[..., j, :, :]
+                acc = term if acc is None else acc + term
+            outs.append(acc)
+        return jnp.stack(outs, axis=-3)
+
     if transpose:
         def P(r):
             R = jnp.fft.ifft2(r)
-            return jnp.fft.fft2(jnp.einsum('ijzx,...jzx->...izx', sinv, R))
+            return jnp.fft.fft2(_sinv_apply(R))
     else:
         def P(r):
             R = jnp.fft.fft2(r)
-            return jnp.fft.ifft2(jnp.einsum('ijzx,...jzx->...izx', sinv, R))
+            return jnp.fft.ifft2(_sinv_apply(R))
 
     def M(r):
         x1 = P(r)
@@ -258,9 +298,10 @@ def solve(op, b, config=SolverConfig()):
     M = _make_precond(op, config)
     MT = (_make_precond(op, config, transpose=True)
           if op.hierT is not None else None)
+    krylov = _effective_krylov(config, op.planes.shape[0])
 
     def krylov_solve(matvec, rhs, Mfn):
-        if config.krylov == 'gmres':
+        if krylov == 'gmres':
             return gmres(matvec, rhs, M=Mfn, tol=config.tol,
                          maxiter=config.maxiter,
                          restart=config.gmres_restart).x
@@ -327,9 +368,15 @@ def make_chunked_solver(config=SolverConfig(), chunk=64):
 
         M = _make_precond(op, config)
 
+        krylov = _effective_krylov(config, b.shape[-3])
+
         def one(bi, xi):
             r = bi - mv(xi)
-            res = bicgstab(mv, r, M=M, tol=config.tol, maxiter=chunk)
+            if krylov == 'gmres':
+                from .krylov import gmres_cycle
+                res = gmres_cycle(mv, r, M=M, m=chunk)
+            else:
+                res = bicgstab(mv, r, M=M, tol=config.tol, maxiter=chunk)
             xi = xi + res.x
             bnorm = jnp.linalg.norm(bi)
             bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
@@ -376,6 +423,10 @@ def solve_info(op, b, config=SolverConfig()):
     def mv(x):
         return apply_block_stencil_fast(op.planes, x)
 
-    res = bicgstab(mv, b, M=_make_precond(op, config),
-                   tol=config.tol, maxiter=config.maxiter)
+    M = _make_precond(op, config)
+    if _effective_krylov(config, op.planes.shape[0]) == 'gmres':
+        res = gmres(mv, b, M=M, tol=config.tol, maxiter=config.maxiter,
+                    restart=config.gmres_restart)
+    else:
+        res = bicgstab(mv, b, M=M, tol=config.tol, maxiter=config.maxiter)
     return res.x, res.iters, res.relres
