@@ -20,6 +20,7 @@ adjoint dot tests to solver tolerance for arbitrary heterogeneous models.
 import numpy as np
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 
 from ..core.attrmap import BaseSCCache
@@ -282,11 +283,13 @@ class HelmBaseProblem(BaseModelDependent, BaseSCCache):
                 if is_25d:
                     u = self._solve_25d(ci, rho, f, qf[i], cfg, kwargs)
                     if survey.mode == 'fixed':
-                        panels.append(R @ u)
+                        panels.append(jnp.matmul(
+                            R, u, precision=lax.Precision.HIGHEST))
                     else:
                         nsrc = qf[i].shape[1]
                         panels.append(jnp.einsum(
-                            'smn,ns->ms', R.reshape((nsrc, -1, nrow)), u))
+                            'smn,ns->ms', R.reshape((nsrc, -1, nrow)), u,
+                            precision=lax.Precision.HIGHEST))
                     continue
                 if is_eurus:
                     planes = eurus_planes(ci, rho, freq=f, **kwargs)
@@ -312,11 +315,14 @@ class HelmBaseProblem(BaseModelDependent, BaseSCCache):
                 x = solve_batched(op, b, cfg)
                 u = jnp.conj(x[:, 0].reshape((nsrc, nrow))).T
                 if survey.mode == 'fixed':
-                    panels.append(R @ u)                  # (nrec, nsrc)
+                    # explicit precision: TPU matmuls default to bfloat16
+                    panels.append(jnp.matmul(
+                        R, u, precision=lax.Precision.HIGHEST))
                 else:
                     panels.append(jnp.einsum('smn,ns->ms',
                                              R.reshape((nsrc, -1, nrow)),
-                                             u))
+                                             u,
+                                             precision=lax.Precision.HIGHEST))
             return jnp.stack(panels, axis=-1)  # (nrec, nsrc, nfreq)
 
         self._dpred_grad_fn = forward

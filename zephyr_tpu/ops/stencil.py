@@ -115,6 +115,32 @@ def _pallas_wanted():
 
 
 @jax.custom_batching.custom_vmap
+def _apply_batched_fast(planes, u):
+    '''
+    Batched scalar apply (planes (9, nz, nx), u (R, nz, nx)); uses the
+    Pallas kernel when eligible. Wrapped in custom_vmap so that any
+    FURTHER batching (e.g. an outer frequency vmap batching the planes)
+    falls back to the jnp path — the default pallas_call batching rule
+    cannot handle the kernel's ANY-memory-space inputs.
+    '''
+
+    if _pallas_wanted():
+        from .pallas_stencil import (apply_stencil_pallas_batched,
+                                     pallas_batched_applicable)
+        if pallas_batched_applicable(planes, u):
+            return apply_stencil_pallas_batched(planes, u)
+    return apply_stencil(planes, u)
+
+
+@_apply_batched_fast.def_vmap
+def _apply_batched_fast_vmap(axis_size, in_batched, planes, u):
+    planes_b, u_b = in_batched
+    fn = jax.vmap(apply_stencil,
+                  in_axes=(0 if planes_b else None, 0 if u_b else None))
+    return fn(planes, u), True
+
+
+@jax.custom_batching.custom_vmap
 def _apply_scalar_fast(planes, u):
     'Scalar 9-point apply; under vmap dispatches to the Pallas kernel.'
 
@@ -124,37 +150,50 @@ def _apply_scalar_fast(planes, u):
 @_apply_scalar_fast.def_vmap
 def _apply_scalar_fast_vmap(axis_size, in_batched, planes, u):
     planes_b, u_b = in_batched
-    if (u_b and not planes_b and _pallas_wanted()):
-        from .pallas_stencil import (apply_stencil_pallas_batched,
-                                     pallas_batched_applicable)
-        if pallas_batched_applicable(planes, u):
-            return apply_stencil_pallas_batched(planes, u), True
     if u_b and not planes_b:
-        return apply_stencil(planes, u), True
+        return _apply_batched_fast(planes, u), True
     fn = jax.vmap(apply_stencil,
                   in_axes=(0 if planes_b else None, 0 if u_b else None))
     return fn(planes, u), True
+
+
+def _jacobi_ref(p, d, bb, uu):
+    return uu + d * (bb - apply_stencil(p, uu))
+
+
+@jax.custom_batching.custom_vmap
+def _jacobi_batched_fast(planes, dinv_eff, b, u):
+    'Batched fused sweep; further batching falls back to jnp (see apply).'
+
+    if _pallas_wanted():
+        from .pallas_stencil import (jacobi_sweep_pallas_batched,
+                                     pallas_jacobi_applicable)
+        if pallas_jacobi_applicable(planes, u):
+            return jacobi_sweep_pallas_batched(planes, dinv_eff, b, u)
+    return _jacobi_ref(planes, dinv_eff, b, u)
+
+
+@_jacobi_batched_fast.def_vmap
+def _jacobi_batched_fast_vmap(axis_size, in_batched, planes, dinv_eff, b, u):
+    ax = lambda flag: 0 if flag else None
+    fn = jax.vmap(_jacobi_ref, in_axes=tuple(ax(f) for f in in_batched))
+    return fn(planes, dinv_eff, b, u), True
 
 
 @jax.custom_batching.custom_vmap
 def _jacobi_scalar_fast(planes, dinv_eff, b, u):
     'One damped-Jacobi sweep; under vmap dispatches to the fused kernel.'
 
-    r = b - apply_stencil(planes, u)
-    return u + dinv_eff * r
+    return _jacobi_ref(planes, dinv_eff, b, u)
 
 
 @_jacobi_scalar_fast.def_vmap
 def _jacobi_scalar_fast_vmap(axis_size, in_batched, planes, dinv_eff, b, u):
     planes_b, dinv_b, b_b, u_b = in_batched
-    if (u_b and b_b and not planes_b and not dinv_b and _pallas_wanted()):
-        from .pallas_stencil import (jacobi_sweep_pallas_batched,
-                                     pallas_jacobi_applicable)
-        if pallas_jacobi_applicable(planes, u):
-            return jacobi_sweep_pallas_batched(planes, dinv_eff, b, u), True
+    if u_b and b_b and not planes_b and not dinv_b:
+        return _jacobi_batched_fast(planes, dinv_eff, b, u), True
     ax = lambda flag: 0 if flag else None
-    fn = jax.vmap(lambda p, d, bb, uu: uu + d * (bb - apply_stencil(p, uu)),
-                  in_axes=(ax(planes_b), ax(dinv_b), ax(b_b), ax(u_b)))
+    fn = jax.vmap(_jacobi_ref, in_axes=tuple(ax(f) for f in in_batched))
     return fn(planes, dinv_eff, b, u), True
 
 

@@ -19,6 +19,7 @@ from functools import partial
 import numpy as np
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -128,7 +129,9 @@ def multifreq_dpred(c, rho, freqs, q, R, config=SolverConfig(),
 
     u = multifreq_solve(ops, b, config)    # (nfreq, nsrc, B, nz, nx)
     u0 = u[:, :, 0].reshape((nfreq, nsrc, nz * nx))
-    return jnp.einsum('rn,fsn->fsr', R, u0)
+    # explicit precision: TPU matmuls default to bfloat16
+    return jnp.einsum('rn,fsn->fsr', R, u0,
+                      precision=lax.Precision.HIGHEST)
 
 
 def multifreq_dpred_25d(c, rho, freqs, q, R, nky, cmin=None,
@@ -173,8 +176,8 @@ def multifreq_dpred_25d(c, rho, freqs, q, R, nky, cmin=None,
 
         u_ky = jax.vmap(per_ky)(kys, premuls)     # (nky, nsrc, nz, nx)
         u = scale_term * jnp.sum(u_ky, axis=0)    # ky quadrature
-        return jnp.einsum('rn,sn->sr', R,
-                          u.reshape((nsrc, nz * nx)))
+        return jnp.einsum('rn,sn->sr', R, u.reshape((nsrc, nz * nx)),
+                          precision=lax.Precision.HIGHEST)
 
     return jax.vmap(per_freq)(freqs, q)
 
