@@ -157,3 +157,35 @@ def test_multifreq_25d_matches_compat():
     u_fast = np.asarray(d)[0, 0]
     rel = np.linalg.norm(u_fast - u_compat) / np.linalg.norm(u_compat)
     assert rel < 1e-6
+
+
+def test_multifreq_dpred_chunked_matches_differentiable():
+    '''
+    The host-driven chunked production forward (one short device program
+    per frequency + restarted chunked solves) must agree with the
+    monolithic differentiable forward to solver tolerance.
+    '''
+    import numpy as np
+    import jax.numpy as jnp
+    from zephyr_tpu.parallel.multifreq import (multifreq_dpred,
+                                               multifreq_dpred_chunked)
+    from zephyr_tpu.solver.helmholtz import SolverConfig
+
+    nz, nx = 64, 64
+    cfg = SolverConfig(tol=1e-8, maxiter=300)
+    freqs = np.array([80., 120.])
+    q = np.zeros((2, 2, nz, nx), np.complex128)
+    q[:, 0, 20, 20] = 1.0
+    q[:, 1, 40, 30] = 1.0
+    R = np.zeros((3, nz * nx), np.complex128)
+    for r in range(3):
+        R[r, 30 * nx + 10 + r * 10] = 1.0
+    c = 2000. * np.ones((nz, nx))
+
+    d1 = np.asarray(multifreq_dpred(
+        jnp.asarray(c), jnp.ones((nz, nx)), jnp.asarray(freqs),
+        jnp.asarray(q), jnp.asarray(R), config=cfg))
+    d2 = multifreq_dpred_chunked(c, np.ones((nz, nx)), freqs, q, R,
+                                 config=cfg, chunk=32)
+    rel = np.linalg.norm(d1 - d2) / np.linalg.norm(d1)
+    assert rel < 1e-5

@@ -182,6 +182,66 @@ def multifreq_dpred_25d(c, rho, freqs, q, R, nky, cmin=None,
     return jax.vmap(per_freq)(freqs, q)
 
 
+def multifreq_dpred_chunked(c, rho, freqs, q, R, config=SolverConfig(),
+                            premul=None, Q=np.inf, freqBase=0.0,
+                            chunk=16, **plane_kwargs):
+    '''
+    Host-driven production forward modelling: one short device program per
+    frequency (operator prep) plus restarted chunked solves for the
+    source batch. This is the robust large-scale path on TPU runtimes
+    that kill their worker on very long programs (the monolithic
+    vmap-over-16-frequencies x 96-source program does exactly that),
+    and it reuses each frequency's prepared operator across all sources
+    like the reference reuses one LU factorization
+    (zephyr/backend/distributors.py:127-173).
+
+    Non-differentiable (use ``multifreq_dpred`` for the autodiff path).
+    Returns the (nfreq, nsrc, nrec) data cube as numpy complex.
+    '''
+
+    from ..core.realio import realio_jit, device_put_c
+    from ..solver.helmholtz import make_chunked_solver
+
+    nfreq, nsrc, nz, nx = q.shape
+    c = np.asarray(c)
+    cdtype = jnp.complex128 if np.asarray(q).dtype == np.complex128 \
+        else jnp.complex64
+    rdtype = np.float64 if cdtype == jnp.complex128 else np.float32
+    rho_r = np.asarray(np.real(rho)).astype(rdtype)
+
+    def prep(freq, c_r, rho_r):
+        ci = viscous_velocity(c_r.astype(cdtype), freq, Q, freqBase)
+        planes = minizephyr_planes(ci, rho_r, freq, **plane_kwargs)[None,
+                                                                   None]
+        pplanes = minizephyr_planes(
+            shifted_velocity(ci, config.shift), rho_r, freq,
+            pml_cap=config.pml_cap, **plane_kwargs)[None, None]
+        return prepare_operator(planes, pplanes, config,
+                                with_transpose=False)
+
+    def project(x, R_j):
+        u = jnp.conj(x[:, 0].reshape((x.shape[0], nz * nx)))
+        return jnp.einsum('rn,sn->sr', R_j, u,
+                          precision=lax.Precision.HIGHEST)
+
+    prep_rio = realio_jit(prep)
+    project_rio = realio_jit(project, host_output=True)
+    solver = make_chunked_solver(config, chunk=chunk)
+
+    R_c = device_put_c(np.asarray(R))
+    out = np.zeros((nfreq, nsrc, R.shape[0]), np.complex128)
+    for i, f in enumerate(np.asarray(freqs)):
+        op = prep_rio(jnp.asarray(float(f)),
+                      jnp.asarray(np.real(c).astype(rdtype)),
+                      jnp.asarray(rho_r))
+        b = np.asarray(q[i])[:, None]          # (nsrc, 1, nz, nx)
+        if premul is not None:
+            b = b * complex(np.asarray(premul).ravel()[i])
+        x, iters, relres = solver(op, b)
+        out[i] = np.asarray(project_rio(x, R_c))
+    return out
+
+
 def fwi_misfit(c, dobs, *args, **kwargs):
     '0.5 || dpred - dobs ||^2 over the sharded multi-frequency forward.'
 
