@@ -161,6 +161,48 @@ def test_mg_only_precond_matches_lu():
     assert op.fft_sinv is None
 
 
+def test_gradient_matches_dense_autodiff():
+    '''
+    Hard gradient pin (immune to FD noise): the implicit-function
+    gradient through the iterative solve must match the gradient of the
+    SAME objective computed through a dense jnp.linalg.solve, on a
+    heterogeneous random medium. This is the regression net under the
+    loosened FD smoke thresholds.
+    '''
+    cfg = SolverConfig(tol=1e-11, maxiter=600)
+    n = 40
+    freq = 120.0
+    rho = jnp.ones((n, n))
+    rng = np.random.default_rng(5)
+    c0 = jnp.asarray(2000.0 + 150.0 * rng.standard_normal((n, n)))
+    q = np.zeros((1, n, n), dtype=np.complex128)
+    q[0, 20, 15] = 1.0
+    qj = jnp.asarray(q)
+
+    def loss_iterative(c):
+        planes = minizephyr_planes(c.astype(jnp.complex128), rho,
+                                   freq)[None, None]
+        pplanes = minizephyr_planes(
+            shifted_velocity(c.astype(jnp.complex128), cfg.shift), rho,
+            freq, pml_cap=cfg.pml_cap)[None, None]
+        op = prepare_operator(planes, pplanes, cfg, with_transpose=True)
+        u = solve(op, qj, cfg)
+        return jnp.sum(jnp.abs(u) ** 2)
+
+    def loss_dense(c):
+        from zephyr_tpu.ops.stencil import planes_to_dense_jax
+        planes = minizephyr_planes(c.astype(jnp.complex128), rho,
+                                   freq)[None, None]
+        A = planes_to_dense_jax(planes)
+        u = jnp.linalg.solve(A, qj.ravel())
+        return jnp.sum(jnp.abs(u) ** 2)
+
+    g_it = jax.grad(loss_iterative)(c0)
+    g_dn = jax.grad(loss_dense)(c0)
+    rel = float(jnp.linalg.norm(g_it - g_dn) / jnp.linalg.norm(g_dn))
+    assert rel < 1e-6
+
+
 def test_gmres_outer_matches_lu():
     'The GMRES outer-solver option converges to the same solution.'
     cfg = SolverConfig(tol=1e-8, maxiter=400, krylov='gmres',

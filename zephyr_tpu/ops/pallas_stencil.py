@@ -146,14 +146,15 @@ def pallas_applicable(planes, u):
 # ---------------------------------------------------------------------------
 
 
-def _apply_kernel_batched(pr_ref, pi_ref, ur_hbm, ui_hbm, or_ref, oi_ref,
-                          ur_tile, ui_tile, sem, *, TZ, TX):
-    '''
-    Grid (nz/TZ, nx/TX, R); u refs are the padded (R, nzp, nxp) arrays.
-    Halo-window DMA is double-buffered: each step starts the next step's
-    copy before computing, hiding the (strided, latency-bound) halo
-    transfer behind the 9-offset FMA work.
-    '''
+def _double_buffered_halo_fetch(ur_hbm, ui_hbm, ur_tile, ui_tile, sem,
+                                TZ, TX):
+    """
+    Shared double-buffered halo-window DMA for the batched kernels on
+    grid (nz/TZ, nx/TX, R): start the NEXT grid step's copy before
+    waiting on this step's, hiding the (strided, latency-bound) halo
+    transfer behind the compute. Returns the (TZ+8, TX+128) re/im tile
+    refs for the current step.
+    """
 
     iz = pl.program_id(0)
     jx = pl.program_id(1)
@@ -166,16 +167,19 @@ def _apply_kernel_batched(pr_ref, pi_ref, ur_hbm, ui_hbm, or_ref, oi_ref,
     slot = lax.rem(step, jnp.int32(2))
     nslot = 1 - slot
 
-    @pl.when(step == 0)
-    def _():
+    def _start(rr, zz, xx, s):
         cr = pltpu.make_async_copy(
-            ur_hbm.at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
-            ur_tile.at[0], sem.at[0, 0])
+            ur_hbm.at[rr, pl.ds(zz * TZ, TZ + 8), pl.ds(xx * TX, TX + 128)],
+            ur_tile.at[s], sem.at[s, 0])
         ci = pltpu.make_async_copy(
-            ui_hbm.at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
-            ui_tile.at[0], sem.at[0, 1])
+            ui_hbm.at[rr, pl.ds(zz * TZ, TZ + 8), pl.ds(xx * TX, TX + 128)],
+            ui_tile.at[s], sem.at[s, 1])
         cr.start()
         ci.start()
+
+    @pl.when(step == 0)
+    def _():
+        _start(r, iz, jx, 0)
 
     nstep = step + 1
 
@@ -185,14 +189,7 @@ def _apply_kernel_batched(pr_ref, pi_ref, ur_hbm, ui_hbm, or_ref, oi_ref,
         t1 = nstep // nR
         njx = lax.rem(t1, jnp.int32(nJ))
         niz = t1 // nJ
-        cr = pltpu.make_async_copy(
-            ur_hbm.at[nr, pl.ds(niz * TZ, TZ + 8), pl.ds(njx * TX, TX + 128)],
-            ur_tile.at[nslot], sem.at[nslot, 0])
-        ci = pltpu.make_async_copy(
-            ui_hbm.at[nr, pl.ds(niz * TZ, TZ + 8), pl.ds(njx * TX, TX + 128)],
-            ui_tile.at[nslot], sem.at[nslot, 1])
-        cr.start()
-        ci.start()
+        _start(nr, niz, njx, nslot)
 
     cr = pltpu.make_async_copy(
         ur_hbm.at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
@@ -202,9 +199,12 @@ def _apply_kernel_batched(pr_ref, pi_ref, ur_hbm, ui_hbm, or_ref, oi_ref,
         ui_tile.at[slot], sem.at[slot, 1])
     cr.wait()
     ci.wait()
+    return ur_tile.at[slot], ui_tile.at[slot]
 
-    urt = ur_tile.at[slot]
-    uit = ui_tile.at[slot]
+
+def _accumulate_offsets(pr_ref, pi_ref, urt, uit, TZ, TX):
+    "9-offset complex FMA over the halo tile: (A u) as real/imag pair."
+
     acc_r = jnp.zeros((TZ, TX), jnp.float32)
     acc_i = jnp.zeros((TZ, TX), jnp.float32)
     for k, (dz, dx) in enumerate(OFFSETS):
@@ -214,27 +214,29 @@ def _apply_kernel_batched(pr_ref, pi_ref, ur_hbm, ui_hbm, or_ref, oi_ref,
         pi = pi_ref[k]
         acc_r += pr * ur - pi * ui
         acc_i += pr * ui + pi * ur
+    return acc_r, acc_i
+
+
+def _apply_kernel_batched(pr_ref, pi_ref, ur_hbm, ui_hbm, or_ref, oi_ref,
+                          ur_tile, ui_tile, sem, *, TZ, TX):
+    "Grid (nz/TZ, nx/TX, R); u refs are the padded (R, nzp, nxp) arrays."
+
+    urt, uit = _double_buffered_halo_fetch(ur_hbm, ui_hbm, ur_tile,
+                                           ui_tile, sem, TZ, TX)
+    acc_r, acc_i = _accumulate_offsets(pr_ref, pi_ref, urt, uit, TZ, TX)
     or_ref[0] = acc_r
     oi_ref[0] = acc_i
 
 
-@partial(jax.jit, static_argnames=('interpret',))
-def apply_stencil_pallas_batched(planes, u, interpret=False):
-    '''
-    Pallas-fused batched stencil apply: planes (9, nz, nx) complex64,
-    u (R, nz, nx) complex64 -> (R, nz, nx). The batch axis is the
-    innermost grid dimension so consecutive steps reuse the resident
-    coefficient tile (Mosaic dedupes same-index block fetches).
-    Measured at 2048^2 x 16 RHS: 8.8 ms vs 18.6 ms for the XLA lowering
-    (which stops fusing the 9-offset apply at this size).
-
-    No AD rules: use only where gradients are not traced through (the
-    preconditioner and the non-differentiable chunked/info solvers).
-    '''
+def _batched_call(kernel, extra_inputs, extra_specs, planes, u, TZ, TX,
+                  interpret):
+    """
+    Shared pad/split/pallas_call scaffolding for the batched kernels:
+    planes (9, nz, nx) tiles in VMEM, u as padded real/imag pairs in ANY
+    memory (manually DMA'd), (R, nz, nx) re/im outputs.
+    """
 
     R, nz, nx = u.shape
-    TZ = min(128, nz)
-    TX = min(512, nx)
     assert nz % TZ == 0 and nx % TX == 0
 
     pr = jnp.real(planes).astype(jnp.float32)
@@ -244,8 +246,6 @@ def apply_stencil_pallas_batched(planes, u, interpret=False):
     ui = jnp.imag(up).astype(jnp.float32)
 
     grid = (nz // TZ, nx // TX, R)
-    kernel = partial(_apply_kernel_batched, TZ=TZ, TX=TX)
-
     out_r, out_i = pl.pallas_call(
         kernel,
         grid=grid,
@@ -254,6 +254,7 @@ def apply_stencil_pallas_batched(planes, u, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, TZ, TX), lambda i, j, r: (0, i, j),
                          memory_space=pltpu.VMEM),
+        ] + list(extra_specs) + [
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -273,79 +274,43 @@ def apply_stencil_pallas_batched(planes, u, interpret=False):
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(pr, pi, ur, ui)
+    )(pr, pi, *extra_inputs, ur, ui)
 
     return lax.complex(out_r, out_i)
+
+
+@partial(jax.jit, static_argnames=('interpret',))
+def apply_stencil_pallas_batched(planes, u, interpret=False):
+    """
+    Pallas-fused batched stencil apply: planes (9, nz, nx) complex64,
+    u (R, nz, nx) complex64 -> (R, nz, nx). The batch axis is the
+    innermost grid dimension so consecutive steps reuse the resident
+    coefficient tile (Mosaic dedupes same-index block fetches).
+    Measured at 2048^2 x 16 RHS: 8.8 ms vs 18.6 ms for the XLA lowering
+    (which stops fusing the 9-offset apply at this size).
+
+    No AD rules: use only where gradients are not traced through (the
+    preconditioner and the non-differentiable chunked/info solvers).
+    """
+
+    nz, nx = u.shape[-2:]
+    TZ = min(128, nz)
+    TX = min(512, nx)
+    kernel = partial(_apply_kernel_batched, TZ=TZ, TX=TX)
+    return _batched_call(kernel, (), (), planes, u, TZ, TX, interpret)
 
 
 def _jacobi_kernel_batched(pr_ref, pi_ref, dr_ref, di_ref, br_ref, bi_ref,
                            ur_hbm, ui_hbm, or_ref, oi_ref,
                            ur_tile, ui_tile, sem, *, TZ, TX):
-    '''
+    """
     Fused damped-Jacobi sweep: u' = u + Dinv_eff (b - A u), with
-    Dinv_eff = omega * Dinv pre-multiplied by the caller. Same
-    double-buffered halo-window scheme as ``_apply_kernel_batched``.
-    '''
+    Dinv_eff = omega * Dinv pre-multiplied by the caller.
+    """
 
-    iz = pl.program_id(0)
-    jx = pl.program_id(1)
-    r = pl.program_id(2)
-    nJ = pl.num_programs(1)
-    nR = pl.num_programs(2)
-    total = pl.num_programs(0) * nJ * nR
-
-    step = (iz * nJ + jx) * nR + r
-    slot = lax.rem(step, jnp.int32(2))
-    nslot = 1 - slot
-
-    @pl.when(step == 0)
-    def _():
-        cr = pltpu.make_async_copy(
-            ur_hbm.at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
-            ur_tile.at[0], sem.at[0, 0])
-        ci = pltpu.make_async_copy(
-            ui_hbm.at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
-            ui_tile.at[0], sem.at[0, 1])
-        cr.start()
-        ci.start()
-
-    nstep = step + 1
-
-    @pl.when(nstep < total)
-    def _():
-        nr = lax.rem(nstep, jnp.int32(nR))
-        t1 = nstep // nR
-        njx = lax.rem(t1, jnp.int32(nJ))
-        niz = t1 // nJ
-        cr = pltpu.make_async_copy(
-            ur_hbm.at[nr, pl.ds(niz * TZ, TZ + 8), pl.ds(njx * TX, TX + 128)],
-            ur_tile.at[nslot], sem.at[nslot, 0])
-        ci = pltpu.make_async_copy(
-            ui_hbm.at[nr, pl.ds(niz * TZ, TZ + 8), pl.ds(njx * TX, TX + 128)],
-            ui_tile.at[nslot], sem.at[nslot, 1])
-        cr.start()
-        ci.start()
-
-    cr = pltpu.make_async_copy(
-        ur_hbm.at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
-        ur_tile.at[slot], sem.at[slot, 0])
-    ci = pltpu.make_async_copy(
-        ui_hbm.at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
-        ui_tile.at[slot], sem.at[slot, 1])
-    cr.wait()
-    ci.wait()
-
-    urt = ur_tile.at[slot]
-    uit = ui_tile.at[slot]
-    acc_r = jnp.zeros((TZ, TX), jnp.float32)
-    acc_i = jnp.zeros((TZ, TX), jnp.float32)
-    for k, (dz, dx) in enumerate(OFFSETS):
-        ur = urt[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
-        ui = uit[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
-        pr = pr_ref[k]
-        pi = pi_ref[k]
-        acc_r += pr * ur - pi * ui
-        acc_i += pr * ui + pi * ur
+    urt, uit = _double_buffered_halo_fetch(ur_hbm, ui_hbm, ur_tile,
+                                           ui_tile, sem, TZ, TX)
+    acc_r, acc_i = _accumulate_offsets(pr_ref, pi_ref, urt, uit, TZ, TX)
     # r = b - A u; u' = u_c + Dinv_eff r
     rr = br_ref[0] - acc_r
     ri = bi_ref[0] - acc_i
@@ -359,92 +324,55 @@ def _jacobi_kernel_batched(pr_ref, pi_ref, dr_ref, di_ref, br_ref, bi_ref,
 
 @partial(jax.jit, static_argnames=('interpret',))
 def jacobi_sweep_pallas_batched(planes, dinv_eff, b, u, interpret=False):
-    '''
+    """
     One fused damped-Jacobi sweep u' = u + dinv_eff * (b - A u) for a
     (R, nz, nx) batch; ``dinv_eff`` is the (nz, nx) pointwise inverse
     diagonal already multiplied by the damping factor. No AD rules.
-    '''
+    """
 
-    R, nz, nx = u.shape
+    nz, nx = u.shape[-2:]
     # smaller z-tile than the plain apply: the extra dinv/b blocks (each
     # pipeline-double-buffered by Mosaic) blow the 16 MB scoped-VMEM
     # limit at (128, 512)
     TZ = min(64, nz)
     TX = min(512, nx)
-    assert nz % TZ == 0 and nx % TX == 0
 
-    pr = jnp.real(planes).astype(jnp.float32)
-    pi = jnp.imag(planes).astype(jnp.float32)
     dr = jnp.real(dinv_eff).astype(jnp.float32)
     di = jnp.imag(dinv_eff).astype(jnp.float32)
     br = jnp.real(b).astype(jnp.float32)
     bi = jnp.imag(b).astype(jnp.float32)
-    up = jnp.pad(u, ((0, 0), (1, 7), (1, 127)))
-    ur = jnp.real(up).astype(jnp.float32)
-    ui = jnp.imag(up).astype(jnp.float32)
-
-    grid = (nz // TZ, nx // TX, R)
+    extra_specs = [
+        pl.BlockSpec((TZ, TX), lambda i, j, r: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TZ, TX), lambda i, j, r: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
+                     memory_space=pltpu.VMEM),
+    ]
     kernel = partial(_jacobi_kernel_batched, TZ=TZ, TX=TX)
+    return _batched_call(kernel, (dr, di, br, bi), extra_specs, planes, u,
+                         TZ, TX, interpret)
 
-    out_r, out_i = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((9, TZ, TX), lambda i, j, r: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, TZ, TX), lambda i, j, r: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TZ, TX), lambda i, j, r: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TZ, TX), lambda i, j, r: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((R, nz, nx), jnp.float32),
-            jax.ShapeDtypeStruct((R, nz, nx), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
-            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-        interpret=interpret,
-    )(pr, pi, dr, di, br, bi, ur, ui)
 
-    return lax.complex(out_r, out_i)
+def _batched_tiles_ok(planes, u, tz):
+    if planes.ndim != 3 or u.ndim != 3:
+        return False
+    nz, nx = u.shape[-2:]
+    TZ = min(tz, nz)
+    TX = min(512, nx)
+    return (nz % TZ == 0 and nx % TX == 0 and nz >= 8 and nx >= 128
+            and planes.dtype == jnp.complex64 and u.dtype == jnp.complex64)
 
 
 def pallas_batched_applicable(planes, u):
-    'Whether the batched fused kernel supports these shapes/dtypes.'
+    "Whether the batched fused apply supports these shapes/dtypes."
 
-    if planes.ndim != 3 or u.ndim != 3:
-        return False
-    nz, nx = u.shape[-2:]
-    TZ = min(128, nz)
-    TX = min(512, nx)
-    return (nz % TZ == 0 and nx % TX == 0 and nz >= 8 and nx >= 128
-            and planes.dtype == jnp.complex64 and u.dtype == jnp.complex64)
+    return _batched_tiles_ok(planes, u, 128)
 
 
 def pallas_jacobi_applicable(planes, u):
-    'Whether the fused Jacobi-sweep kernel supports these shapes/dtypes.'
+    "Whether the fused Jacobi-sweep kernel supports these shapes/dtypes."
 
-    if planes.ndim != 3 or u.ndim != 3:
-        return False
-    nz, nx = u.shape[-2:]
-    TZ = min(64, nz)
-    TX = min(512, nx)
-    return (nz % TZ == 0 and nx % TX == 0 and nz >= 8 and nx >= 128
-            and planes.dtype == jnp.complex64 and u.dtype == jnp.complex64)
+    return _batched_tiles_ok(planes, u, 64)

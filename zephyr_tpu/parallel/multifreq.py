@@ -236,7 +236,7 @@ def multifreq_dpred_chunked(c, rho, freqs, q, R, config=SolverConfig(),
                       jnp.asarray(rho_r))
         b = np.asarray(q[i])[:, None]          # (nsrc, 1, nz, nx)
         if premul is not None:
-            b = b * complex(np.asarray(premul).ravel()[i])
+            b = b * np.asarray(premul).ravel()[i].astype(b.dtype)
         x, iters, relres = solver(op, b)
         out[i] = np.asarray(project_rio(x, R_c))
     return out

@@ -237,10 +237,14 @@ def _make_precond(op, config, transpose=False):
     at 512^2 / 32 wavelengths: 112 -> 25 outer iterations homogeneous, and
     converges on layered/random media where MG-only BiCGStab diverges.
 
-    With ``transpose=True`` returns M^T (the exact transpose under the
-    bilinear form, as required by custom_linear_solve's transpose solve):
-    M^T = P^T + (I - P^T A^T) V^T, with P^T = F D^T F^{-1} since the DFT
-    matrix is symmetric.
+    With ``transpose=True`` returns the same construction built from the
+    transposed parts, P^T + V^T (I - A^T P^T) — a preconditioner FOR the
+    transposed operator, not the algebraic transpose of M (which would be
+    P^T + (I - P^T A^T) V^T; the two differ because V^T and P^T A^T do
+    not commute). custom_linear_solve only requires that the transpose
+    solve converge on A^T x = b, and the preconditioner choice is free,
+    so gradients are exact to solve tolerance either way.
+    P^T = F D^T F^{-1} since the DFT matrix is symmetric.
     '''
 
     hier = op.hierT if transpose else op.hier
@@ -399,7 +403,13 @@ def make_chunked_solver(config=SolverConfig(), chunk=64):
         # upload b once (as real pairs); every chunk then reuses the
         # device-resident copy instead of re-transferring the batch
         if not isinstance(b_batch, C):
-            b_batch = device_put_c(np.asarray(b_batch))
+            if isinstance(b_batch, jnp.ndarray):
+                # already device-resident: split on device — np.asarray
+                # here would be a complex device->host transfer, which is
+                # exactly what this path exists to avoid
+                b_batch = C(jnp.real(b_batch), jnp.imag(b_batch))
+            else:
+                b_batch = device_put_c(np.asarray(b_batch))
         x = zeros_rio(b_batch)
         iters = 0
         worst = None
