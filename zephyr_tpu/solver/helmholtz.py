@@ -38,11 +38,14 @@ class SolverConfig(NamedTuple):
     '''
     Static configuration of the iterative Helmholtz solver.
 
-    Defaults were selected by parameter sweeps on the reference's
-    200x100 @ 200 Hz oracle configuration (33 BiCGStab iterations to
-    1e-7) and a 256^2 / 16-wavelength configuration (56 iterations);
-    the capped-PML preconditioner (pml_cap) is the key lever — see
-    ops/minizephyr_coeff.py.
+    Defaults were selected by parameter sweeps on the reference's oracle
+    configurations and on 512^2-2048^2 TPU runs with the hybrid
+    (spectral + multigrid) preconditioner: ~25 outer iterations at 32
+    wavelengths across, ~48 at 128 wavelengths (homogeneous, tol 1e-5).
+    Key levers: ``precond``/``fft_shift`` (the spectral interior solve),
+    ``pml_cap`` (capped-PML preconditioner planes — see
+    ops/minizephyr_coeff.py), and ``krylov`` ('auto' picks BiCGStab for
+    scalar operators, restarted GMRES for TTI block systems).
     '''
     tol: float = 1e-7
     maxiter: int = 500
