@@ -221,3 +221,15 @@ def test_gmres_outer_matches_lu():
     x_lu = np.linalg.solve(A, q.ravel())
     rel = np.linalg.norm(x - x_lu) / np.linalg.norm(x_lu)
     assert rel < 1e-5
+
+
+def test_krylov_auto_selection():
+    'krylov=auto: BiCGStab for scalar operators, GMRES for block (TTI).'
+    from zephyr_tpu.solver.helmholtz import _effective_krylov
+
+    cfg = SolverConfig()
+    assert cfg.krylov == 'auto'
+    assert _effective_krylov(cfg, 1) == 'bicgstab'
+    assert _effective_krylov(cfg, 2) == 'gmres'
+    assert _effective_krylov(cfg._replace(krylov='bicgstab'), 2) == 'bicgstab'
+    assert _effective_krylov(cfg._replace(krylov='gmres'), 1) == 'gmres'
