@@ -189,3 +189,16 @@ def test_multifreq_dpred_chunked_matches_differentiable():
                                  config=cfg, chunk=32)
     rel = np.linalg.norm(d1 - d2) / np.linalg.norm(d1)
     assert rel < 1e-5
+
+    # complex (attenuative) velocity must flow through the chunked
+    # realio boundary, not silently lose its imaginary part
+    c_cplx = c * (1.0 + 0.01j)
+    d1c = np.asarray(multifreq_dpred(
+        jnp.asarray(c_cplx), jnp.ones((nz, nx)), jnp.asarray(freqs),
+        jnp.asarray(q), jnp.asarray(R), config=cfg))
+    d2c = multifreq_dpred_chunked(c_cplx, np.ones((nz, nx)), freqs, q, R,
+                                  config=cfg, chunk=32)
+    relc = np.linalg.norm(d1c - d2c) / np.linalg.norm(d1c)
+    assert relc < 1e-5
+    # and the attenuation must actually change the data
+    assert np.linalg.norm(d1c - d1) / np.linalg.norm(d1) > 1e-3

@@ -60,13 +60,13 @@ def test_dd_solve_matches_global():
     assert float(relres) < 1e-7
 
     # check against the single-device reference solve
-    from zephyr_tpu.solver.helmholtz import prepare_operator, solve
+    from zephyr_tpu.solver.helmholtz import prepare_operator, solve_info
     op = prepare_operator(planes, pplanes, cfg, with_transpose=False)
-    x_ref = solve(op, qj, cfg)
+    x_ref, ref_iters, _ = solve_info(op, qj, cfg)
     rel = np.linalg.norm(np.asarray(x) - np.asarray(x_ref)) \
         / np.linalg.norm(np.asarray(x_ref))
     assert rel < 1e-5
 
     # additive-Schwarz preconditioning is weaker than global multigrid,
-    # but must stay within a small factor of the global iteration count
-    assert int(iters) < 6 * cfg.maxiter
+    # but must stay within a small factor of the single-device count
+    assert int(iters) < 4 * max(int(ref_iters), 1)

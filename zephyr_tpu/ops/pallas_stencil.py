@@ -15,7 +15,7 @@ pallas_call with manual halo DMA:
 - Complex multiply-accumulate runs on the VPU as four real FMA streams.
 
 Correctness is pinned against the jnp reference implementation in
-tests/test_pallas.py (interpret mode on CPU, compiled on TPU).
+tests/test_utils_realio.py (interpret mode on CPU, compiled on TPU).
 '''
 
 from functools import partial

@@ -209,8 +209,12 @@ def multifreq_dpred_chunked(c, rho, freqs, q, R, config=SolverConfig(),
     rdtype = np.float64 if cdtype == jnp.complex128 else np.float32
     rho_r = np.asarray(np.real(rho)).astype(rdtype)
 
-    def prep(freq, c_r, rho_r):
-        ci = viscous_velocity(c_r.astype(cdtype), freq, Q, freqBase)
+    def prep(freq, c_re, c_im, rho_r):
+        # complex velocity crosses the realio boundary as a re/im pair
+        # (matching the differentiable path's acceptance of complex c)
+        cj = (c_re.astype(cdtype)
+              + jnp.asarray(1j, cdtype) * c_im.astype(cdtype))
+        ci = viscous_velocity(cj, freq, Q, freqBase)
         planes = minizephyr_planes(ci, rho_r, freq, **plane_kwargs)[None,
                                                                    None]
         pplanes = minizephyr_planes(
@@ -233,6 +237,7 @@ def multifreq_dpred_chunked(c, rho, freqs, q, R, config=SolverConfig(),
     for i, f in enumerate(np.asarray(freqs)):
         op = prep_rio(jnp.asarray(float(f)),
                       jnp.asarray(np.real(c).astype(rdtype)),
+                      jnp.asarray(np.imag(c).astype(rdtype)),
                       jnp.asarray(rho_r))
         b = np.asarray(q[i])[:, None]          # (nsrc, 1, nz, nx)
         if premul is not None:

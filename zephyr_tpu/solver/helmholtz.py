@@ -254,7 +254,10 @@ def _make_precond(op, config, transpose=False):
     mg = lambda r: v_cycle(hier, r, omega=config.mg_omega,
                            nu1=config.mg_nu1, nu2=config.mg_nu2,
                            coarse_iters=config.mg_coarse_iters)
-    if op.fft_sinv is None:
+    # honor the solve-time config: an operator prepared with the hybrid
+    # spectral symbol can still be solved with the plain-MG preconditioner
+    # (the reverse needs the symbol, which only prepare_operator builds)
+    if op.fft_sinv is None or config.precond == 'mg':
         return mg
 
     sinv = op.fft_sinv

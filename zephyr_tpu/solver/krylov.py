@@ -211,7 +211,9 @@ def gmres_cycle(matvec, b, M=None, x0=None, m=20):
     z = lax.fori_loop(0, m, accum, jnp.zeros_like(b))
     x = x0 + M(z)
     r = b - matvec(x)
-    return BicgstabResult(x, jnp.full((), m, jnp.int32), _norm(r) / _norm(b))
+    bnorm = _norm(b)
+    bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
+    return BicgstabResult(x, jnp.full((), m, jnp.int32), _norm(r) / bnorm)
 
 
 def gmres(matvec, b, M=None, x0=None, tol=1e-6, maxiter=1000, restart=40):
