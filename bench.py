@@ -1,13 +1,21 @@
 '''
 zephyr_tpu benchmark driver.
 
-Measures multi-source Helmholtz solve throughput on one chip at the
-BASELINE.md north-star configuration (2048^2 grid, multi-source batch)
-and compares against the reference's solver path: single-core SciPy
-sparse-LU (the reference's problemo.BestSolver default — SuperLU), with
-the LU cost measured at a smaller grid and extrapolated to the bench
-grid by the standard 2D nested-dissection complexity model
-(factorization ~ O(N^1.5), triangular solves ~ O(N log N) per RHS).
+Headline: multi-source Helmholtz solve throughput on one chip at the
+BASELINE.md north-star configuration (2048^2 grid, multi-source batch,
+homogeneous medium) against the reference's solver path — single-core
+SciPy sparse-LU (problemo.BestSolver's SuperLU default), measured at a
+smaller grid and extrapolated by the standard 2D nested-dissection
+complexity model (factor ~ O(N^1.5), triangular solve ~ O(N log N)).
+
+Additional recorded cases (in "detail"):
+- oracle_error: on-chip accuracy pin — the homogeneous solution against
+  the analytical Green's function (windowed element-norm, the
+  reference's own test metric, zephyr/backend/Tests/test_MiniZephyr.py).
+- layered: heterogeneous throughput (4-layer 1500-3000 m/s model).
+- eurus: TTI block-system throughput (Thomsen anisotropy + PML).
+- gradient: FWI misfit+gradient wall-clock at scale via the chunked
+  adjoint-state driver, vs the LU-gradient estimate.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -27,35 +35,54 @@ BENCH_NSRC = int(os.environ.get('ZT_BENCH_NSRC', 16))
 BENCH_WAVELEN_CELLS = float(os.environ.get('ZT_BENCH_WAVELEN', 16.0))
 BENCH_REPEATS = int(os.environ.get('ZT_BENCH_REPEATS', 3))
 LU_N = int(os.environ.get('ZT_BENCH_LU_N', 512))
+GRAD_NFREQ = int(os.environ.get('ZT_BENCH_GRAD_NFREQ', 8))
+EURUS_N = int(os.environ.get('ZT_BENCH_EURUS_N', 512))
+RUN_EXTRAS = os.environ.get('ZT_BENCH_EXTRAS', '1') != '0'
 
 
-def measure_tpu(n, nsrc):
+def _common_setup():
     import jax
-    import jax.numpy as jnp
 
     if os.environ.get('ZT_BENCH_FORCE_CPU'):
         jax.config.update('jax_platforms', 'cpu')
-
     cache_dir = os.environ.get('ZT_JAX_CACHE', '/tmp/zephyr_tpu_jaxcache')
     try:
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     except Exception:
         pass
+    return jax
+
+
+def _solver_cfg():
+    from zephyr_tpu.solver.helmholtz import SolverConfig
+    return SolverConfig(tol=1e-5, maxiter=2000, mg_coarse='inv',
+                        mg_min_size=32, fft_mode='strat', fft_scale=2)
+
+
+def _layered_c(n, dtype=np.float32):
+    c = np.zeros((n, n), dtype=dtype)
+    for i, v in enumerate([1500., 2000., 2500., 3000.]):
+        c[i * n // 4:(i + 1) * n // 4] = v
+    return c
+
+
+def measure_tpu(n, nsrc, medium='hom'):
+    jax = _common_setup()
+    import jax.numpy as jnp
 
     from zephyr_tpu.core.realio import realio_jit
     from zephyr_tpu.ops.minizephyr_coeff import minizephyr_planes
-    from zephyr_tpu.solver.helmholtz import (SolverConfig, prepare_operator,
+    from zephyr_tpu.solver.helmholtz import (prepare_operator,
                                              make_chunked_solver,
                                              shifted_velocity)
 
     cval = 1500.0
     freq = cval / BENCH_WAVELEN_CELLS  # wavelength in cells at dx=1
-    cfg = SolverConfig(tol=1e-5, maxiter=2000, mg_coarse='iterative',
-                       mg_min_size=32)
+    cfg = _solver_cfg()
     # Short device programs: the axon runtime kills its worker on very
-    # long loop programs (the un-chunked 2048^2 solve crashes it), and
-    # chunk restarts also remove f32 recursive-residual drift.
+    # long loop programs, and chunk restarts also remove f32
+    # recursive-residual drift.
     chunk = int(os.environ.get('ZT_BENCH_CHUNK', 16))
 
     # complex arrays never cross the host<->device boundary (realio)
@@ -69,14 +96,12 @@ def measure_tpu(n, nsrc):
                                 with_transpose=False)
 
     def make_rhs(pos):
-        # delta sources built on device from (nsrc, 2) positions: the RHS
-        # never crosses the host<->device boundary (tunnel transfers of
-        # dense fields dominate wall-clock under axon)
         q = jnp.zeros((pos.shape[0], 1, n, n), jnp.complex64)
         return q.at[jnp.arange(pos.shape[0]), 0, pos[:, 0], pos[:, 1]].set(
             1.0 + 0.0j)
 
-    c_real = cval * np.ones((n, n), dtype=np.float32)
+    c_real = (cval * np.ones((n, n), dtype=np.float32) if medium == 'hom'
+              else _layered_c(n))
     op = realio_jit(prep_fn)(jnp.asarray(c_real))
 
     rng = np.random.default_rng(0)
@@ -102,8 +127,123 @@ def measure_tpu(n, nsrc):
         'freq_hz': freq,
         'wavelengths_across': n / BENCH_WAVELEN_CELLS,
         'chunk': chunk,
+        'medium': medium,
     }
+
+    if medium == 'hom':
+        # on-chip accuracy pin: solve one centre source and compare to
+        # the analytical Green's function on the reference's windowed
+        # element-norm metric (test_MiniZephyr.py:109-114 semantics)
+        from zephyr_tpu.ops.special import hankel1_0
+
+        def oracle_err(x_re, x_im, pos0):
+            u = jnp.conj(jax.lax.complex(x_re, x_im))
+            k = 2 * np.pi * freq / cval
+            Z, X = jnp.mgrid[0:n, 0:n]
+            r = jnp.sqrt((Z.astype(jnp.float32)
+                          - pos0[0].astype(jnp.float32)) ** 2
+                         + (X.astype(jnp.float32)
+                            - pos0[1].astype(jnp.float32)) ** 2)
+            uA = jnp.nan_to_num(0.5 * (-0.5j) * hankel1_0(k * r))
+            w0, w1 = n // 8, 7 * n // 8
+            rel = (uA - u)[w0:w1, w0:w1] / jnp.abs(uA[w0:w1, w0:w1])
+            num = jnp.sqrt(jnp.real(jnp.sum(jnp.conj(rel) * rel)))
+            return num / rel.size
+
+        pos0 = np.array([[n // 2, n // 2]], np.int32)
+        b0 = realio_jit(make_rhs)(pos0)
+        x0, _, _ = solver(op, b0)
+        err = realio_jit(oracle_err, host_output=True)(
+            x0.re[0, 0], x0.im[0, 0], jnp.asarray(pos0[0]))
+        info['oracle_error'] = float(np.asarray(err))
+
     return nsrc / t, info
+
+
+def measure_eurus(n, nsrc):
+    'TTI block-system throughput (Thomsen anisotropy, PML).'
+
+    jax = _common_setup()
+    import jax.numpy as jnp
+
+    from zephyr_tpu.core.realio import realio_jit
+    from zephyr_tpu.ops.eurus_coeff import eurus_planes
+    from zephyr_tpu.solver.helmholtz import (prepare_operator,
+                                             make_chunked_solver,
+                                             shifted_velocity)
+
+    cval = 1500.0
+    freq = cval / BENCH_WAVELEN_CELLS
+    cfg = _solver_cfg()._replace(gmres_restart=20)
+    chunk = int(os.environ.get('ZT_BENCH_CHUNK', 16))
+
+    def prep_fn(c_real):
+        c = c_real.astype(jnp.complex64)
+        rho = jnp.ones_like(c_real)
+        aniso = dict(theta=jnp.full((n, n), 0.3, jnp.float32),
+                     eps=jnp.full((n, n), 0.2, jnp.float32),
+                     delta=jnp.full((n, n), 0.1, jnp.float32))
+        planes = eurus_planes(c, rho, freq, **aniso)
+        pplanes = eurus_planes(shifted_velocity(c, cfg.shift), rho, freq,
+                               pml_cap=cfg.pml_cap, **aniso)
+        return prepare_operator(planes, pplanes, cfg,
+                                with_transpose=False)
+
+    def make_rhs(pos):
+        q = jnp.zeros((pos.shape[0], 2, n, n), jnp.complex64)
+        return q.at[jnp.arange(pos.shape[0]), 0, pos[:, 0], pos[:, 1]].set(
+            1.0 + 0.0j)
+
+    op = realio_jit(prep_fn)(jnp.asarray(
+        cval * np.ones((n, n), np.float32)))
+    rng = np.random.default_rng(1)
+    pos = rng.integers(n // 8, 7 * n // 8, size=(nsrc, 2)).astype(np.int32)
+    b = realio_jit(make_rhs)(pos)
+    solver = make_chunked_solver(cfg, chunk=chunk)
+    _, iters, relres = solver(op, b)
+    t0 = time.time()
+    _, iters, relres = solver(op, b)
+    t = time.time() - t0
+    return nsrc / t, {'iters': int(iters), 'relres': float(relres),
+                      'grid': n, 'medium': 'TTI hom',
+                      'device': str(jax.devices()[0])}
+
+
+def measure_gradient(n, nsrc, nfreq):
+    '''
+    FWI misfit + gradient wall-clock at scale: chunked adjoint-state
+    driver (forward + transpose solves per frequency, explicit gradient).
+    '''
+
+    _common_setup()
+
+    from zephyr_tpu.parallel.multifreq import fwi_misfit_grad_chunked
+
+    cfg = _solver_cfg()
+    chunk = int(os.environ.get('ZT_BENCH_CHUNK', 16))
+    c = _layered_c(n, np.float64)
+    rho = np.ones((n, n))
+    freqs = np.linspace(0.6, 1.0, nfreq) * (1500.0 / BENCH_WAVELEN_CELLS)
+    rng = np.random.default_rng(2)
+    q = np.zeros((nfreq, nsrc, n, n), np.complex64)
+    pos = rng.integers(n // 8, 7 * n // 8, size=(nsrc, 2))
+    for s in range(nsrc):
+        q[:, s, pos[s, 0], pos[s, 1]] = 1.0
+    nrec = 64
+    R = np.zeros((nrec, n * n), np.complex64)
+    rx = np.linspace(n // 8, 7 * n // 8, nrec).astype(int)
+    for r in range(nrec):
+        R[r, (n // 8) * n + rx[r]] = 1.0
+    dobs = np.zeros((nfreq, nsrc, nrec), np.complex64)  # zero-data misfit
+
+    t0 = time.time()
+    misfit, grad = fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
+                                           config=cfg, chunk=chunk)
+    t_total = time.time() - t0
+    return t_total, {'misfit': float(misfit),
+                     'grad_norm': float(np.linalg.norm(grad)),
+                     'grid': n, 'nfreq': nfreq, 'nsrc': nsrc,
+                     'finite': bool(np.isfinite(grad).all())}
 
 
 def measure_lu_baseline(n, nsrc):
@@ -191,30 +331,45 @@ def _probe_device(timeout_s=300):
     return None
 
 
-def _measure_subprocess(n, nsrc):
+def _measure_subprocess(mode, timeout=None, **env_overrides):
     '''
-    Run measure_tpu in a subprocess (the experimental TPU runtime can
-    crash its worker on very large programs; isolation lets the parent
-    fall back to a smaller grid).
+    Run one measurement mode in a subprocess (the experimental TPU
+    runtime can crash its worker on very large programs; isolation lets
+    the parent fall back / record the error and continue).
     '''
 
     import subprocess
     env = dict(os.environ)
-    env['ZT_BENCH_MEASURE_ONLY'] = '1'
-    env['ZT_BENCH_N'] = str(n)
-    env['ZT_BENCH_NSRC'] = str(nsrc)
-    if os.environ.get('ZT_BENCH_FORCE_CPU'):
-        env['ZT_BENCH_FORCE_CPU'] = '1'
-    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                          capture_output=True, text=True, env=env,
-                          timeout=int(os.environ.get('ZT_BENCH_TIMEOUT',
-                                                     3000)))
+    env['ZT_BENCH_MEASURE_ONLY'] = mode
+    for k, v in env_overrides.items():
+        env[k] = str(v)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env,
+            timeout=timeout or int(os.environ.get('ZT_BENCH_TIMEOUT',
+                                                  3000)))
+    except subprocess.TimeoutExpired:
+        return {'error': 'timeout'}
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
             return json.loads(line)
         except (json.JSONDecodeError, ValueError):
             continue
-    return None
+    return {'error': 'no output (rc=%d): %s'
+            % (proc.returncode, proc.stderr[-300:])}
+
+
+def _run_measure_only(mode):
+    if mode in ('hom', 'layered'):
+        throughput, info = measure_tpu(BENCH_N, BENCH_NSRC, medium=mode)
+        print(json.dumps({'throughput': throughput, 'info': info}))
+    elif mode == 'eurus':
+        throughput, info = measure_eurus(EURUS_N, BENCH_NSRC)
+        print(json.dumps({'throughput': throughput, 'info': info}))
+    elif mode == 'gradient':
+        t_total, info = measure_gradient(BENCH_N, BENCH_NSRC, GRAD_NFREQ)
+        print(json.dumps({'wall_s': t_total, 'info': info}))
 
 
 def main():
@@ -226,17 +381,15 @@ def main():
         platform = 'cpu-fallback(tpu-init-hang)'
 
     if os.environ.get('ZT_BENCH_FORCE_CPU'):
-        # CPU fallback: measure at a tractable size
         sizes = [min(BENCH_N, 512), 256]
     else:
         sizes = [BENCH_N, BENCH_N // 2, BENCH_N // 4]
+
     measured = None
     for n in sizes:
-        try:
-            measured = _measure_subprocess(n, BENCH_NSRC)
-        except Exception:
-            measured = None
-        if measured is not None:
+        out = _measure_subprocess('hom', ZT_BENCH_N=n)
+        if out and 'throughput' in out:
+            measured = out
             measured['grid'] = n
             break
     if measured is None:
@@ -250,23 +403,59 @@ def main():
     lu_throughput, lu_info = measure_lu_baseline(n, BENCH_NSRC)
     tpu_throughput = measured['throughput']
 
+    detail = {'tpu': measured['info'], 'lu_baseline': lu_info,
+              'lu_throughput': lu_throughput,
+              'requested_grid': BENCH_N,
+              'platform_probe': platform}
+
+    if RUN_EXTRAS and not os.environ.get('ZT_BENCH_FORCE_CPU'):
+        lay = _measure_subprocess('layered', ZT_BENCH_N=n)
+        if lay and 'throughput' in lay:
+            lay_thr = lay['throughput']
+            detail['layered'] = dict(lay['info'],
+                                     solves_per_s=round(lay_thr, 4),
+                                     vs_lu=round(lay_thr / lu_throughput,
+                                                 2))
+        else:
+            detail['layered'] = lay
+        eur = _measure_subprocess('eurus')
+        if eur and 'throughput' in eur:
+            detail['eurus'] = dict(eur['info'],
+                                   solves_per_s=round(eur['throughput'],
+                                                      4))
+        else:
+            detail['eurus'] = eur
+        grad = _measure_subprocess('gradient', ZT_BENCH_N=n)
+        if grad and 'wall_s' in grad:
+            # LU-gradient estimate: per frequency one factorization plus
+            # forward + adjoint batched triangular solves (the reference
+            # "mux" path, zephyr/middleware/problem.py:144-152)
+            lu_grad = GRAD_NFREQ * (lu_info['t_factor_extrapolated']
+                                    + 2 * BENCH_NSRC
+                                    * lu_info['t_solve_extrapolated'])
+            detail['gradient'] = dict(grad['info'],
+                                      wall_s=round(grad['wall_s'], 2),
+                                      lu_gradient_estimate_s=round(
+                                          lu_grad, 2),
+                                      vs_lu=round(lu_grad
+                                                  / grad['wall_s'], 2))
+        else:
+            detail['gradient'] = grad
+
     result = {
         'metric': 'Helmholtz solves/sec/chip at %d^2, %d sources batched'
                   % (n, BENCH_NSRC),
         'value': round(tpu_throughput, 4),
         'unit': 'solves/s',
         'vs_baseline': round(tpu_throughput / lu_throughput, 2),
-        'detail': {'tpu': measured['info'], 'lu_baseline': lu_info,
-                   'lu_throughput': lu_throughput,
-                   'requested_grid': BENCH_N,
-                   'platform_probe': platform},
+        'detail': detail,
     }
     print(json.dumps(result))
 
 
 if __name__ == '__main__':
-    if os.environ.get('ZT_BENCH_MEASURE_ONLY'):
-        throughput, info = measure_tpu(BENCH_N, BENCH_NSRC)
-        print(json.dumps({'throughput': throughput, 'info': info}))
+    mode = os.environ.get('ZT_BENCH_MEASURE_ONLY')
+    if mode:
+        _run_measure_only(mode)
     else:
         main()

@@ -35,6 +35,7 @@ def _config(epsval, deltaval):
     }
 
 
+@pytest.mark.slow
 def test_cleanExecution():
     systemConfig = _config(0., 0.)
     Ainv = Eurus(systemConfig)
@@ -45,6 +46,7 @@ def test_cleanExecution():
     assert np.isfinite(u).all()
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_compareAnalytical_Isotropic():
     systemConfig = _config(0., 0.)
@@ -63,6 +65,7 @@ def test_compareAnalytical_Isotropic():
     assert error < 3e-2
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_compareAnalytical_Elliptical():
     systemConfig = _config(0.2, 0.2)

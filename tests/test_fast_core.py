@@ -1,0 +1,258 @@
+'''
+Fast core-contract coverage for the default (< 5 min) CI profile.
+
+Each test here is a small-grid variant of a contract whose full-size
+version lives in the slow suite (run with ``pytest -m ""``): LU parity,
+transpose/adjoint exactness, Eurus block solve, middleware derivative
+dot tests, chunked-vs-differentiable equality, sharded-vs-single-device
+gradients.
+'''
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zephyr_tpu.ops.minizephyr_coeff import minizephyr_planes
+from zephyr_tpu.ops.stencil import planes_to_dense, block_planes_to_dense
+from zephyr_tpu.solver.helmholtz import (SolverConfig, prepare_operator,
+                                         solve, solve_info,
+                                         shifted_velocity)
+
+NZ, NX, FREQ, CVAL = 48, 40, 150., 2500.
+CFG = SolverConfig(tol=1e-9, maxiter=400)
+
+
+def _mz_operator(cfg=CFG, with_transpose=False, c=None):
+    if c is None:
+        c = CVAL * jnp.ones((NZ, NX), dtype=jnp.complex128)
+    rho = jnp.ones((NZ, NX))
+    planes = minizephyr_planes(c, rho, FREQ)[None, None]
+    pplanes = minizephyr_planes(shifted_velocity(c, cfg.shift), rho, FREQ,
+                                pml_cap=cfg.pml_cap)[None, None]
+    return prepare_operator(planes, pplanes, cfg,
+                            with_transpose=with_transpose)
+
+
+def _delta(z, x):
+    q = np.zeros((1, NZ, NX), dtype=np.complex128)
+    q[0, z, x] = 1.0
+    return q
+
+
+def test_matches_lu_small():
+    'Iterative solve == dense LU at small size (full-size version: slow).'
+    op = _mz_operator()
+    q = _delta(20, 20)
+    x = np.asarray(solve(op, jnp.asarray(q), CFG)).ravel()
+    A = planes_to_dense(np.asarray(op.planes[0, 0]))
+    x_lu = np.linalg.solve(A, q.ravel())
+    assert np.linalg.norm(x - x_lu) / np.linalg.norm(x_lu) < 1e-6
+
+
+def test_layered_matches_lu_small():
+    'Heterogeneous (2:1 discontinuity) convergence with the inv coarse.'
+    cfg = CFG._replace(mg_coarse='inv', tol=1e-8)
+    c = np.full((NZ, NX), 1500.)
+    c[NZ // 2:] = 3000.
+    op = _mz_operator(cfg, c=jnp.asarray(c, jnp.complex128))
+    q = _delta(16, 28)
+    x, iters, relres = solve_info(op, jnp.asarray(q), cfg)
+    A = planes_to_dense(np.asarray(op.planes[0, 0]))
+    x_lu = np.linalg.solve(A, q.ravel())
+    rel = np.linalg.norm(np.asarray(x).ravel() - x_lu) / np.linalg.norm(x_lu)
+    assert rel < 1e-5
+    assert int(iters) < 200
+
+
+def test_transpose_vjp_small():
+    'VJP of the solve is the transpose solve (full-size version: slow).'
+    op = _mz_operator(with_transpose=True)
+    qj = jnp.asarray(_delta(30, 25))
+    f = lambda b: solve(op, b, CFG)
+    x, vjp = jax.vjp(f, qj)
+    g = _delta(20, 20) * (1.0 + 0.5j)
+    (gb,) = vjp(jnp.asarray(g))
+    A = planes_to_dense(np.asarray(op.planes[0, 0]))
+    x_direct = np.linalg.solve(A.T, g.ravel())
+    assert np.linalg.norm(np.asarray(gb).ravel() - x_direct) \
+        / np.linalg.norm(x_direct) < 1e-6
+
+
+def test_eurus_block_matches_lu_small():
+    'TTI 2x2 block system solve == dense LU at small size.'
+    from zephyr_tpu.ops.eurus_coeff import eurus_planes
+    cfg = SolverConfig(tol=1e-9, maxiter=600)
+    c = CVAL * jnp.ones((NZ, NX), dtype=jnp.complex128)
+    rho = jnp.ones((NZ, NX))
+    aniso = dict(theta=0.2 * jnp.ones((NZ, NX)),
+                 eps=0.1 * jnp.ones((NZ, NX)),
+                 delta=0.05 * jnp.ones((NZ, NX)))
+    planes = eurus_planes(c, rho, FREQ, **aniso)
+    pplanes = eurus_planes(shifted_velocity(c, cfg.shift), rho, FREQ,
+                           pml_cap=cfg.pml_cap, **aniso)
+    op = prepare_operator(planes, pplanes, cfg, with_transpose=False)
+    q = np.zeros((2, NZ, NX), dtype=np.complex128)
+    q[0, 20, 24] = 1.0
+    x = np.asarray(solve(op, jnp.asarray(q), cfg)).ravel()
+    A = block_planes_to_dense(np.asarray(op.planes))
+    x_lu = np.linalg.solve(A, q.ravel())
+    assert np.linalg.norm(x - x_lu) / np.linalg.norm(x_lu) < 1e-5
+
+
+def test_middleware_dot_test_small():
+    '<Jv, w> == <v, Jtw> through the middleware problem (small grid).'
+    from zephyr_tpu.middleware import Helm2DProblem, Helm2DSurvey
+
+    nz, nx = 40, 32
+    sc = {
+        'nx': nx, 'nz': nz, 'c': 2000. * np.ones((nz, nx)), 'rho': 1.,
+        'freqs': [90.],
+        'geom': {'src': np.array([[8., 10.]]),
+                 'rec': np.array([[24., 8.], [24., 20.]]),
+                 'mode': 'fixed'},
+        'solverOpts': {'tol': 1e-9, 'maxiter': 400},
+    }
+    problem = Helm2DProblem(sc)
+    survey = Helm2DSurvey(sc)
+    problem.pair(survey)
+    m = sc['c'].ravel()
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(m.size)
+    w = rng.standard_normal(survey.nD) + 1j * rng.standard_normal(survey.nD)
+    Jv = problem.Jvec(m, v)
+    Jtw = problem.Jtvec(m, w)
+    # the adjoint identity in the middleware's convention (matches
+    # test_middleware.test_jvec_jtvec_dot_product): Re<w, Jv> == <Jtw, v>
+    lhs = np.real(np.vdot(w, Jv))
+    rhs = float(np.dot(Jtw, v))
+    assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-5
+
+
+def test_chunked_matches_differentiable_small():
+    from zephyr_tpu.parallel.multifreq import (multifreq_dpred,
+                                               multifreq_dpred_chunked)
+    nz, nx = 48, 48
+    cfg = SolverConfig(tol=1e-8, maxiter=200)
+    freqs = np.array([90.])
+    q = np.zeros((1, 2, nz, nx), np.complex128)
+    q[:, 0, 14, 14] = 1.0
+    q[:, 1, 30, 22] = 1.0
+    R = np.zeros((2, nz * nx), np.complex128)
+    R[0, 20 * nx + 8] = 1.0
+    R[1, 26 * nx + 40] = 1.0
+    c = 2000. * np.ones((nz, nx))
+    d1 = np.asarray(multifreq_dpred(
+        jnp.asarray(c), jnp.ones((nz, nx)), jnp.asarray(freqs),
+        jnp.asarray(q), jnp.asarray(R), config=cfg))
+    d2 = multifreq_dpred_chunked(c, np.ones((nz, nx)), freqs, q, R,
+                                 config=cfg, chunk=16)
+    assert np.linalg.norm(d1 - d2) / np.linalg.norm(d1) < 1e-5
+
+
+def test_stratified_precond_layered_small():
+    '''
+    fft_mode='strat' (per-row interior tridiagonal solve, PCR): exact
+    solution parity with dense LU on a layered medium, and fewer
+    iterations than the constant-symbol hybrid (512^2 measurement:
+    231 -> 39; here we assert parity + a sane count).
+    '''
+    cfg = CFG._replace(fft_mode='strat', mg_coarse='inv', tol=1e-8,
+                       fft_scale=2)
+    c = np.full((NZ, NX), 1500.)
+    c[NZ // 3:] = 2200.
+    c[2 * NZ // 3:] = 3000.
+    op = _mz_operator(cfg, c=jnp.asarray(c, jnp.complex128),
+                      with_transpose=True)
+    assert op.strat is not None and op.fft_sinv is None
+    q = _delta(14, 22)
+    x, iters, relres = solve_info(op, jnp.asarray(q), cfg)
+    A = planes_to_dense(np.asarray(op.planes[0, 0]))
+    x_lu = np.linalg.solve(A, q.ravel())
+    rel = np.linalg.norm(np.asarray(x).ravel() - x_lu) / np.linalg.norm(x_lu)
+    assert rel < 1e-5
+    assert int(iters) < 150
+
+    # transpose solve through VJP stays exact with the stratified P^T
+    qj = jnp.asarray(q)
+    f = lambda b: solve(op, b, cfg)
+    _, vjp = jax.vjp(f, qj)
+    g = _delta(20, 12) * (1.0 - 0.3j)
+    (gb,) = vjp(jnp.asarray(g))
+    x_t = np.linalg.solve(A.T, g.ravel())
+    assert np.linalg.norm(np.asarray(gb).ravel() - x_t) \
+        / np.linalg.norm(x_t) < 1e-5
+
+
+def test_chunked_fwi_gradient_matches_autodiff_small():
+    'Explicit adjoint-state chunked gradient == monolithic jax.grad.'
+    from zephyr_tpu.parallel.multifreq import (multifreq_dpred,
+                                               fwi_misfit_grad_chunked)
+    nz, nx = 40, 36
+    cfg = SolverConfig(tol=1e-9, maxiter=300)
+    freqs = np.array([90.])
+    q = np.zeros((1, 2, nz, nx), np.complex128)
+    q[:, 0, 10, 10] = 1.0
+    q[:, 1, 26, 20] = 1.0
+    R = np.zeros((2, nz * nx), np.complex128)
+    R[0, 16 * nx + 6] = 1.0
+    R[1, 22 * nx + 30] = 1.0
+    c = 2000. * np.ones((nz, nx))
+    c_true = c.copy()
+    c_true[16:26, 14:26] -= 150.
+    rho = np.ones((nz, nx))
+    dobs = np.asarray(multifreq_dpred(
+        jnp.asarray(c_true), jnp.asarray(rho), jnp.asarray(freqs),
+        jnp.asarray(q), jnp.asarray(R), config=cfg, nPML=8))
+
+    def objective(cm):
+        d = multifreq_dpred(cm, jnp.asarray(rho), jnp.asarray(freqs),
+                            jnp.asarray(q), jnp.asarray(R), config=cfg,
+                            nPML=8)
+        return 0.5 * jnp.sum(jnp.abs(d - jnp.asarray(dobs)) ** 2)
+
+    m0 = float(objective(jnp.asarray(c)))
+    g0 = np.asarray(jax.grad(objective)(jnp.asarray(c)))
+    m1, g1 = fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
+                                     config=cfg, chunk=1, nPML=8)
+    assert abs(m0 - m1) / m0 < 1e-6
+    assert np.linalg.norm(g1 - g0) / np.linalg.norm(g0) < 1e-6
+
+
+def test_sharded_grad_matches_single_small():
+    'Mesh-sharded FWI gradient == single-device gradient (tiny shapes).'
+    from zephyr_tpu.parallel import make_mesh, make_sharded_fwi_step
+    from zephyr_tpu.parallel.multifreq import multifreq_dpred
+
+    if jax.device_count() < 4:
+        pytest.skip('needs 4 virtual devices')
+    nz, nx = 40, 32
+    cfg = SolverConfig(tol=1e-6, maxiter=150)
+    freqs = np.array([60., 90.])
+    q = np.zeros((2, 2, nz, nx), np.complex128)
+    q[:, 0, 10, 8] = 1.0
+    q[:, 1, 20, 8] = 1.0
+    R = np.zeros((2, nz * nx), np.complex128)
+    R[0, 12 * nx + 24] = 1.0
+    R[1, 24 * nx + 24] = 1.0
+    c = 2000. * np.ones((nz, nx))
+    rho = np.ones((nz, nx))
+    c_true = c.copy()
+    c_true[18:26, 12:20] -= 100.
+    dobs = multifreq_dpred(jnp.asarray(c_true), jnp.asarray(rho),
+                           jnp.asarray(freqs), jnp.asarray(q),
+                           jnp.asarray(R), config=cfg, nPML=8)
+    mesh = make_mesh(freq=2, src=2)
+    step = make_sharded_fwi_step(mesh, rho, freqs, q, R, dobs, lr=0.,
+                                 config=cfg, nPML=8)
+    _, misfit, grad = step(jnp.asarray(c))
+
+    def objective(cm):
+        d = multifreq_dpred(cm, jnp.asarray(rho), jnp.asarray(freqs),
+                            jnp.asarray(q), jnp.asarray(R), config=cfg,
+                            nPML=8)
+        return 0.5 * jnp.sum(jnp.abs(d - dobs) ** 2)
+
+    g1 = np.asarray(jax.grad(objective)(jnp.asarray(c)))
+    assert np.allclose(np.asarray(grad), g1, rtol=1e-6, atol=1e-12)

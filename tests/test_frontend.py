@@ -64,6 +64,7 @@ def test_cli_pack_unpack(project):
     assert 'nx' in r.output
 
 
+@pytest.mark.slow
 def test_cli_invert_and_migrate(project):
     'invert and migrate against observed utobs data files.'
     from zephyr_tpu.frontend.jobs import OmegaJob

@@ -52,6 +52,7 @@ def _observed(sc, c_true):
     return survey.dpred()
 
 
+@pytest.mark.slow
 def test_fwi_reduces_misfit():
     sc = _setup([60., 100.])
     dobs = _observed(sc, _true_model())
@@ -83,6 +84,7 @@ def test_fwi_reduces_misfit():
     assert abs(inner) > 3 * outer
 
 
+@pytest.mark.slow
 def test_frequency_continuation_runs():
     sc = _setup([60., 100.])
     dobs = _observed(sc, _true_model()).reshape(10, 6, 2)

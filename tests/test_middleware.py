@@ -74,6 +74,7 @@ def test_fields_container():
     assert np.allclose(d, d_lazy, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_jvec_jtvec_dot_product():
     'Exact adjoint identity: Re<w, J v> == <J^T w, v>.'
     problem, survey = _paired()
@@ -89,6 +90,7 @@ def test_jvec_jtvec_dot_product():
     assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-5
 
 
+@pytest.mark.slow
 def test_jvec_matches_finite_difference():
     problem, survey = _paired()
     c0 = problem.baseVelocity.ravel().copy()
@@ -114,6 +116,7 @@ def test_jvec_matches_finite_difference():
     assert rel < 5e-3
 
 
+@pytest.mark.slow
 def test_misfit_gradient_finite_difference():
     problem, survey = _paired()
     dobs = survey.dpred()
@@ -136,6 +139,7 @@ def test_misfit_gradient_finite_difference():
     assert abs(fd - pred) / abs(fd) < 1e-3
 
 
+@pytest.mark.slow
 def test_visco_dispersion_changes_data():
     p1, s1 = _paired(Helm2DViscoProblem)
     d_novisc = s1.dpred()
@@ -175,6 +179,7 @@ def test_datamisfit_zero_at_truth():
     assert dm.eval() < 1e-20
 
 
+@pytest.mark.slow
 def test_25d_problem_dot_test():
     'Helm25DProblem: exact adjoint identity through the ky summation.'
     from zephyr_tpu.middleware import Helm25DProblem, Helm25DSurvey
@@ -200,6 +205,7 @@ def test_25d_problem_dot_test():
     assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-5
 
 
+@pytest.mark.slow
 def test_eurus_problem_dot_test():
     'Eurus-based problem: exact adjoint identity for the TTI operator.'
     from zephyr_tpu.backend import EurusHD

@@ -64,6 +64,7 @@ def test_compareAnalytical():
     assert error < 1e-2
 
 
+@pytest.mark.slow
 def test_cleanExecution25D():
 
     systemConfig = {
@@ -85,6 +86,7 @@ def test_cleanExecution25D():
     assert np.isfinite(u).all()
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_compareAnalytical25D():
 

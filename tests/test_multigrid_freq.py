@@ -45,6 +45,7 @@ def test_multigrid_helper_scales():
     assert up.shape == (NX * NZ, (NX // 2) * (NZ // 2))
 
 
+@pytest.mark.slow
 def test_multigrid_dpred_approximates_uniform():
     '''
     Coarse-grid data must approximate the full-resolution data up to the

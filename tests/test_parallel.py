@@ -32,6 +32,7 @@ def _fields():
     return q, R
 
 
+@pytest.mark.slow
 def test_multifreq_dpred_matches_middleware():
     'The vmapped fast path must agree with the per-frequency class path.'
 
@@ -93,6 +94,7 @@ def test_viscous_velocity_matches_distributor():
     assert np.allclose(c_fast, c_ref)
 
 
+@pytest.mark.slow
 def test_sharded_fwi_step_8_devices():
     if jax.device_count() < 8:
         pytest.skip('needs 8 virtual devices')
@@ -131,6 +133,7 @@ def test_sharded_fwi_step_8_devices():
     assert np.allclose(g, g_single, rtol=1e-6, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_multifreq_25d_matches_compat():
     'The vmapped ky summation must agree with the MiniZephyr25D class.'
     from zephyr_tpu.parallel import multifreq_dpred_25d
@@ -159,6 +162,7 @@ def test_multifreq_25d_matches_compat():
     assert rel < 1e-6
 
 
+@pytest.mark.slow
 def test_multifreq_dpred_chunked_matches_differentiable():
     '''
     The host-driven chunked production forward (one short device program

@@ -105,6 +105,7 @@ def test_minizephyr_matrix_exact(freeSurf, ky):
     assert np.abs(A_ours - A_ref).max() / scale < 1e-12
 
 
+@pytest.mark.slow
 def test_eurus_matrix_exact():
     'Our block planes assemble to the reference Eurus matrix exactly.'
 

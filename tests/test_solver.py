@@ -5,6 +5,7 @@ and implicit differentiation through lax.custom_linear_solve.
 '''
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import scipy.sparse as sp
@@ -34,6 +35,7 @@ def _lu(planes):
     return spla.splu(A)
 
 
+@pytest.mark.slow
 def test_matches_lu_to_1e5():
     cfg = SolverConfig(tol=1e-8, maxiter=600)
     op = _operator(cfg=cfg)
@@ -46,6 +48,7 @@ def test_matches_lu_to_1e5():
     assert rel < 1e-5
 
 
+@pytest.mark.slow
 def test_batched_rhs():
     cfg = SolverConfig(tol=1e-7, maxiter=600)
     op = _operator(cfg=cfg)
@@ -62,6 +65,7 @@ def test_batched_rhs():
         assert rel < 1e-5
 
 
+@pytest.mark.slow
 def test_transpose_solve_through_vjp():
     'VJP of the solve is the transpose solve: vjp(g) = A^{-T} g.'
     cfg = SolverConfig(tol=1e-9, maxiter=600)
@@ -89,6 +93,7 @@ def test_transpose_solve_through_vjp():
         / np.linalg.norm(x_direct) < 1e-5
 
 
+@pytest.mark.slow
 def test_gradient_through_planes_fd():
     'Implicit diff w.r.t. velocity against finite differences.'
     cfg = SolverConfig(tol=1e-9, maxiter=800)
@@ -125,6 +130,7 @@ def test_gradient_through_planes_fd():
     assert abs(float(fd) - float(pred)) / abs(float(fd)) < 1e-2
 
 
+@pytest.mark.slow
 def test_hybrid_layered_medium_matches_lu():
     '''
     Heterogeneous robustness: on a strong velocity gradient (1500->3000)
@@ -161,6 +167,7 @@ def test_mg_only_precond_matches_lu():
     assert op.fft_sinv is None
 
 
+@pytest.mark.slow
 def test_solve_config_precond_overrides_operator():
     '''
     An operator prepared with the hybrid spectral symbol but solved with a
@@ -203,6 +210,7 @@ def test_gmres_cycle_zero_rhs_finite():
     assert float(jnp.linalg.norm(res.x)) == 0.0
 
 
+@pytest.mark.slow
 def test_gradient_matches_dense_autodiff():
     '''
     Hard gradient pin (immune to FD noise): the implicit-function
@@ -245,6 +253,7 @@ def test_gradient_matches_dense_autodiff():
     assert rel < 1e-6
 
 
+@pytest.mark.slow
 def test_gmres_outer_matches_lu():
     'The GMRES outer-solver option converges to the same solution.'
     cfg = SolverConfig(tol=1e-8, maxiter=400, krylov='gmres',

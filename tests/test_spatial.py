@@ -47,6 +47,7 @@ def test_sharded_apply_matches_unsharded():
     assert np.allclose(np.asarray(sharded), np.asarray(ref), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_dd_solve_matches_global():
     mesh = _mesh(4)
     planes, pplanes, cfg = _planes()

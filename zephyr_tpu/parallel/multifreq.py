@@ -255,6 +255,105 @@ def fwi_misfit(c, dobs, *args, **kwargs):
     return 0.5 * jnp.sum(jnp.abs(r) ** 2)
 
 
+def fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
+                            config=SolverConfig(), premul=None, Q=np.inf,
+                            freqBase=0.0, chunk=16, **plane_kwargs):
+    '''
+    Production-scale FWI misfit + gradient: host-driven per-frequency
+    loop with chunked restarted solves (short device programs — the
+    robust path on TPU runtimes that kill long loop programs), and an
+    explicit adjoint-state gradient:
+
+        F = 0.5 || R conj(x) - dobs ||^2,   x = A(c)^{-1} (premul q)
+        grad F = -grad_c Re< w , A(c) x >,  w = A^{-T} (R^H r)
+
+    — one extra chunked solve with the TRANSPOSED operator per frequency
+    (the reference's adjoint-state Jtvec semantics,
+    zephyr/middleware/problem.py:124-163, with the sensitivity flowing
+    through the differentiable plane builder instead of the hand-written
+    -omega^2/c^3 scaling). Matches jax.grad of ``fwi_misfit`` to solver
+    tolerance; validated in tests/test_fast_core.py.
+
+    Returns (misfit, grad) as numpy (float, (nz, nx) float array).
+    '''
+
+    from ..core.realio import realio_jit, device_put_c
+    from ..ops.stencil import transpose_block_planes, apply_block_stencil
+    from ..solver.helmholtz import make_chunked_solver
+
+    nfreq, nsrc, nz, nx = q.shape
+    c = np.asarray(c)
+    assert np.isrealobj(c) or np.allclose(np.imag(c), 0), \
+        'fwi gradient is w.r.t. a real velocity model'
+    cdtype = jnp.complex128 if np.asarray(q).dtype == np.complex128 \
+        else jnp.complex64
+    rdtype = np.float64 if cdtype == jnp.complex128 else np.float32
+    rho_r = np.asarray(np.real(rho)).astype(rdtype)
+    c_r = np.real(c).astype(rdtype)
+
+    def _planes_of(c_real, freq):
+        ci = viscous_velocity(c_real.astype(cdtype), freq, Q, freqBase)
+        return minizephyr_planes(ci, rho_r, freq, **plane_kwargs)[None,
+                                                                  None]
+
+    def prep(freq, c_real):
+        planes = _planes_of(c_real, freq)
+        pshift = minizephyr_planes(
+            shifted_velocity(c_real.astype(cdtype), config.shift), rho_r,
+            freq, pml_cap=config.pml_cap, **plane_kwargs)[None, None]
+        op_f = prepare_operator(planes, pshift, config,
+                                with_transpose=False)
+        op_t = prepare_operator(transpose_block_planes(planes),
+                                transpose_block_planes(pshift), config,
+                                with_transpose=False)
+        return op_f, op_t
+
+    def residual(x, R_j, dobs_f):
+        # d = R conj(x); r = d - dobs; t = R^H r (adjoint receiver fields)
+        u = jnp.conj(x[:, 0].reshape((x.shape[0], nz * nx)))
+        d = jnp.einsum('rn,sn->sr', R_j, u,
+                       precision=lax.Precision.HIGHEST)
+        r = d - dobs_f
+        t = jnp.einsum('rn,sr->sn', jnp.conj(R_j), r,
+                       precision=lax.Precision.HIGHEST)
+        mis = 0.5 * jnp.sum(jnp.abs(r) ** 2)
+        return t.reshape((x.shape[0], 1, nz, nx)), mis
+
+    def grad_term(c_real, freq, w, x):
+        # -d/dc Re< w , A(c) x >, with w, x held fixed
+        def f(cr):
+            Ax = jax.vmap(lambda xi: apply_block_stencil(
+                _planes_of(cr, freq)[0, 0][None, None], xi))(x)
+            return -jnp.sum(jnp.real(w * Ax))
+        return jax.grad(f)(c_real)
+
+    prep_rio = realio_jit(prep)
+    resid_rio = realio_jit(residual)
+    grad_rio = realio_jit(grad_term)
+    solver = make_chunked_solver(config, chunk=max(chunk, 16))
+
+    R_c = device_put_c(np.asarray(R))
+    misfit = 0.0
+    grad = np.zeros((nz, nx), rdtype)
+    pm = None if premul is None else np.asarray(premul).ravel()
+    for i, f in enumerate(np.asarray(freqs)):
+        op_f, op_t = prep_rio(jnp.asarray(float(f)), jnp.asarray(c_r))
+        for s0 in range(0, nsrc, chunk):
+            s1 = min(s0 + chunk, nsrc)
+            b = np.asarray(q[i, s0:s1])[:, None]
+            if pm is not None:
+                b = b * pm[i].astype(b.dtype)
+            x, _, _ = solver(op_f, b)
+            dobs_c = device_put_c(np.ascontiguousarray(
+                np.asarray(dobs)[i, s0:s1]))
+            t, mis = resid_rio(x, R_c, dobs_c)
+            misfit += float(np.asarray(mis))
+            w, _, _ = solver(op_t, t)
+            g = grad_rio(jnp.asarray(c_r), jnp.asarray(float(f)), w, x)
+            grad += np.asarray(g)
+    return misfit, grad
+
+
 def split_premul(premul):
     'Premultiplier array as a real pair (complex-transfer-safe).'
     from ..core.realio import C

@@ -64,10 +64,37 @@ class SolverConfig(NamedTuple):
                               # 'bicgstab', or 'gmres'
     gmres_restart: int = 40
     precond: str = 'hybrid'   # 'hybrid' (spectral + MG) or 'mg'
+    deflate: bool = False     # two-level deflation (ADEF1-style): project
+                              # out the coarse-grid error with an
+                              # approximate TRUE-operator coarse solve;
+                              # cuts heterogeneous-media iteration counts
+                              # (layered media where the mean interior
+                              # symbol is a poor inverse)
+    defl_sweeps: int = 8      # coarse Richardson sweeps (LINEAR coarse
+                              # solve: a fixed polynomial in M_c A_c, so
+                              # the outer Krylov stays valid)
     fft_shift: Any = 'auto'   # CSLP shift of the spectral solve (complex,
                               # or 'auto': 0.03j near-homogeneous / 0.25j
                               # heterogeneous, from the mass-plane contrast)
     fft_delta: float = 1e-3   # relative symbol-magnitude clamp
+    fft_scale: int = 1        # spectral-solve resolution: 1 = full grid;
+                              # 2 = solve the Galerkin-coarsened interior
+                              # symbol at half resolution between the MG
+                              # transfer operators (4x cheaper FFTs; the
+                              # resonant ring at >= 8 cells/wavelength
+                              # stays far below the coarse Nyquist)
+    fft_mode: str = 'strat'   # 'strat' (default) = depth-stratified
+                              # interior solve (per-row mean
+                              # coefficients, x-FFT + tridiagonal-in-z
+                              # cyclic reduction): exact for layered
+                              # media, dominates or ties '2d' on every
+                              # measured medium class (512^2 iterations:
+                              # layered 39 vs 231, vertical gradient 35
+                              # vs 157, homogeneous 19 vs 20, random 30
+                              # vs 31, x-varying 212 vs 234). Scalar
+                              # (B=1) operators only — block/TTI systems
+                              # fall back to '2d' (constant mean interior
+                              # symbol) automatically.
 
 
 def shifted_velocity(c, shift=0.5j):
@@ -94,6 +121,11 @@ class HelmholtzOperator(NamedTuple):
     hierT: Any        # MGHierarchy of the transposed shifted operator
     fft_sinv: Any = None   # (B, B, nz, nx) inverse interior symbol
     planesT: Any = None    # transposed true planes (hybrid transpose path)
+    coarse: Any = None     # nested HelmholtzOperator of the Galerkin-
+                           # coarsened TRUE operator (two-level deflation)
+    coarseT: Any = None    # its transpose (for the transpose solve)
+    strat: Any = None      # (l, d, u) stratified interior tridiagonals
+                           # (fft_mode='strat'; replaces fft_sinv)
 
 
 def _mean_interior_coeffs(planes):
@@ -208,11 +240,54 @@ def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
     hierT = transpose_hierarchy(hier) if with_transpose else None
     sinv = None
     planesT = None
+    need_coarse = config.deflate or (config.precond == 'hybrid'
+                                     and config.fft_scale > 1)
+    ctrue = cpp = None
+    if need_coarse:
+        # Galerkin-coarsened TRUE operator (preconditioner-internal:
+        # stop_gradient throughout), used by two-level deflation and by
+        # the reduced-resolution spectral solve. Interior masking matches
+        # build_hierarchy: Dirichlet ring rows are excluded.
+        from .multigrid import (_mask_ring_planes, _ring_mask,
+                                _fix_empty_rows, galerkin_coarsen)
+        tp = lax.stop_gradient(planes)
+        nz, nx = tp.shape[-2:]
+        rdtype = jnp.real(jnp.zeros((), tp.dtype)).dtype
+        mask = _ring_mask(nz, nx, rdtype)
+        ctrue = _fix_empty_rows(galerkin_coarsen(
+            _mask_ring_planes(tp, mask)))
+        if len(hier.levels) > 1:
+            cpp = hier.levels[1].planes
+        else:
+            cpp = _fix_empty_rows(galerkin_coarsen(
+                _mask_ring_planes(pp, mask)))
+
+    strat = None
     if config.precond == 'hybrid':
-        sinv = _fft_symbol_inverse(lax.stop_gradient(planes), pp, config)
+        if config.fft_scale > 1:
+            assert config.fft_scale == 2, 'fft_scale: only 1 or 2'
+            src_true, src_pp = ctrue, cpp
+        else:
+            src_true, src_pp = lax.stop_gradient(planes), pp
+        if config.fft_mode == 'strat' and planes.shape[0] == 1:
+            from .stratified import stratified_coeffs
+            strat = stratified_coeffs(src_true, src_pp, config.shift,
+                                      config.fft_shift)
+        else:
+            sinv = _fft_symbol_inverse(src_true, src_pp, config)
+    if with_transpose and (config.precond == 'hybrid' or config.deflate):
+        planesT = transpose_block_planes(lax.stop_gradient(planes))
+
+    coarse = coarseT = None
+    if config.deflate:
+        ccfg = config._replace(deflate=False)
+        coarse = prepare_operator(ctrue, cpp, ccfg, with_transpose=False)
         if with_transpose:
-            planesT = transpose_block_planes(lax.stop_gradient(planes))
-    return HelmholtzOperator(planes, hier, hierT, sinv, planesT)
+            coarseT = prepare_operator(transpose_block_planes(ctrue),
+                                       transpose_block_planes(cpp), ccfg,
+                                       with_transpose=False)
+    return HelmholtzOperator(planes, hier, hierT, sinv, planesT,
+                             coarse, coarseT, strat)
 
 
 def _effective_krylov(config, block_size):
@@ -257,43 +332,106 @@ def _make_precond(op, config, transpose=False):
     # honor the solve-time config: an operator prepared with the hybrid
     # spectral symbol can still be solved with the plain-MG preconditioner
     # (the reverse needs the symbol, which only prepare_operator builds)
-    if op.fft_sinv is None or config.precond == 'mg':
-        return mg
-
-    sinv = op.fft_sinv
-    planes = op.planesT if transpose else op.planes
-    planes = lax.stop_gradient(planes)
-    if transpose:
-        sinv = jnp.swapaxes(sinv, 0, 1)
-
-    def _sinv_apply(R):
-        # explicit block multiply-add (B <= 2): einsum would contract on
-        # the MXU at bfloat16 default precision on TPU
-        B = sinv.shape[0]
-        outs = []
-        for i in range(B):
-            acc = None
-            for j in range(B):
-                term = sinv[i, j] * R[..., j, :, :]
-                acc = term if acc is None else acc + term
-            outs.append(acc)
-        return jnp.stack(outs, axis=-3)
-
-    if transpose:
-        def P(r):
-            R = jnp.fft.ifft2(r)
-            return jnp.fft.fft2(_sinv_apply(R))
+    has_spec = op.fft_sinv is not None or op.strat is not None
+    if not has_spec or config.precond == 'mg':
+        M0 = mg
     else:
-        def P(r):
-            R = jnp.fft.fft2(r)
-            return jnp.fft.ifft2(_sinv_apply(R))
+        planes = lax.stop_gradient(op.planesT if transpose else op.planes)
 
-    def M(r):
-        x1 = P(r)
-        r2 = r - apply_block_stencil_fast(planes, x1)
-        return x1 + mg(r2)
+        if op.strat is not None:
+            from .stratified import stratified_apply
+            spec_shape = op.strat[1].shape[-2:]
 
-    return M
+            def P0(r):
+                # P^T is applied as the algebraic transpose of the same
+                # tridiagonal family (the x-DFT matrix is symmetric)
+                return stratified_apply(op.strat, r, transpose=transpose)
+        else:
+            sinv = op.fft_sinv
+            if transpose:
+                sinv = jnp.swapaxes(sinv, 0, 1)
+            spec_shape = sinv.shape[-2:]
+
+            def _sinv_apply(R):
+                # explicit block multiply-add (B <= 2): einsum would
+                # contract on the MXU at bfloat16 default precision
+                B = sinv.shape[0]
+                outs = []
+                for i in range(B):
+                    acc = None
+                    for j in range(B):
+                        term = sinv[i, j] * R[..., j, :, :]
+                        acc = term if acc is None else acc + term
+                    outs.append(acc)
+                return jnp.stack(outs, axis=-3)
+
+            if transpose:
+                def P0(r):
+                    R = jnp.fft.ifft2(r)
+                    return jnp.fft.fft2(_sinv_apply(R))
+            else:
+                def P0(r):
+                    R = jnp.fft.fft2(r)
+                    return jnp.fft.ifft2(_sinv_apply(R))
+
+        nzf, nxf = planes.shape[-2:]
+        if spec_shape == (nzf, nxf):
+            P = P0
+        else:
+            # reduced-resolution spectral solve (fft_scale=2): interior
+            # solve on the Galerkin-coarsened operator between the MG
+            # transfer operators. Q = P_2h S_c R_2h; its transpose is
+            # P_2h S_c^T R_2h because R = (1/4) P^T exactly.
+            from .multigrid import restrict, prolong
+            maskP = hier.levels[0].mask
+
+            def P(r):
+                rc = restrict(maskP * r)
+                return maskP * prolong(P0(rc), nzf, nxf)
+
+        def M0(r):
+            x1 = P(r)
+            r2 = r - apply_block_stencil_fast(planes, x1)
+            return x1 + mg(r2)
+
+    cop = op.coarseT if transpose else op.coarse
+    if cop is None or not config.deflate:
+        return M0
+
+    # ADEF1-style two-level deflation: M r = M0 (r - A Q r) + Q r with
+    # Q = P_2h Ac^{-approx} R_2h on the Galerkin-coarsened TRUE operator.
+    # The approximate coarse solve is a FIXED number of preconditioned
+    # Richardson sweeps (a polynomial in Mc Ac), so Q — and hence M — is
+    # a fixed LINEAR operator and short-recurrence Krylov stays valid.
+    from .multigrid import restrict, prolong
+    ccfg = config._replace(deflate=False)
+    Mc = _make_precond(cop, ccfg)
+    planes_c = lax.stop_gradient(cop.planes)
+    planes_f = lax.stop_gradient(op.planesT if transpose else op.planes)
+    mask = hier.levels[0].mask
+    nz, nx = planes_f.shape[-2:]
+    nsweeps = config.defl_sweeps
+
+    def Ac(x):
+        return apply_block_stencil_fast(planes_c, x)
+
+    def Afine(x):
+        return apply_block_stencil_fast(planes_f, x)
+
+    def Qop(r):
+        rc = restrict(mask * r)
+        xc = Mc(rc)
+
+        def body(_, xc):
+            return xc + Mc(rc - Ac(xc))
+        xc = lax.fori_loop(0, nsweeps - 1, body, xc)
+        return mask * prolong(xc, nz, nx)
+
+    def M_adef(r):
+        qr = Qop(r)
+        return M0(r - Afine(qr)) + qr
+
+    return M_adef
 
 
 def solve(op, b, config=SolverConfig()):

