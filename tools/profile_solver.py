@@ -116,7 +116,7 @@ def main():
         from zephyr_tpu.solver.stratified import stratified_apply
 
         def strat_apply(u, op):
-            snz, snx = op.strat[1].shape[-2:]
+            snz, snx = op.strat.dinv.shape[-2:]
 
             def one(x):
                 if (snz, snx) != x.shape[-2:]:

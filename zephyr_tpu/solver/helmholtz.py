@@ -270,9 +270,21 @@ def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
         else:
             src_true, src_pp = lax.stop_gradient(planes), pp
         if config.fft_mode == 'strat' and planes.shape[0] == 1:
-            from .stratified import stratified_coeffs
-            strat = stratified_coeffs(src_true, src_pp, config.shift,
-                                      config.fft_shift)
+            from .stratified import stratified_coeffs, pcr_precompute
+            l, d, u = stratified_coeffs(src_true, src_pp, config.shift,
+                                        config.fft_shift)
+            strat = pcr_precompute(l, d, u)
+        elif config.fft_mode == 'strat' and planes.shape[0] == 2:
+            from .stratified import (stratified_coeffs_block,
+                                     pcr_precompute_block)
+            # block (TTI) stratified coefficients always come from the
+            # FINE planes: the Galerkin-coarsened block symbol destroys
+            # outer convergence (measured: layered TTI 96x80 converges
+            # in 80 iterations at full resolution, stalls at fft_scale=2)
+            L, D, U = stratified_coeffs_block(lax.stop_gradient(planes),
+                                              pp, config.shift,
+                                              config.fft_shift)
+            strat = pcr_precompute_block(L, D, U)
         else:
             sinv = _fft_symbol_inverse(src_true, src_pp, config)
     if with_transpose and (config.precond == 'hybrid' or config.deflate):
@@ -339,13 +351,17 @@ def _make_precond(op, config, transpose=False):
         planes = lax.stop_gradient(op.planesT if transpose else op.planes)
 
         if op.strat is not None:
-            from .stratified import stratified_apply
-            spec_shape = op.strat[1].shape[-2:]
+            from .stratified import (StratPCRBlock, stratified_apply,
+                                     stratified_apply_block)
+            spec_shape = op.strat.dinv.shape[-2:]
+            strat_fn = (stratified_apply_block
+                        if isinstance(op.strat, StratPCRBlock)
+                        else stratified_apply)
 
             def P0(r):
                 # P^T is applied as the algebraic transpose of the same
                 # tridiagonal family (the x-DFT matrix is symmetric)
-                return stratified_apply(op.strat, r, transpose=transpose)
+                return strat_fn(op.strat, r, transpose=transpose)
         else:
             sinv = op.fft_sinv
             if transpose:

@@ -108,64 +108,139 @@ def galerkin_coarsen(planes):
     return jnp.stack(rows, axis=0)
 
 
-def restrict(v):
+def _restrict_ref(v):
     '''
     Full-weighting restriction of (..., nz, nx) to the coarse grid:
     out[I, J] = 0.25 sum_{a,b} w(a) w(b) v[2I+a, 2J+b].
 
-    Implemented as a single-pass 9-term weighted sum of stride-2 slices
-    (zero outside the grid): no full-resolution intermediates, so XLA
-    fuses it into one coarse-sized kernel. Measured at 2048^2 x 16 on
-    v5e: the earlier separable-tent-then-decimate formulation cost 3
-    full-resolution passes; this cuts the restrict+prolong pair from
-    33 ms to the ~bandwidth floor.
+    Implemented as a separable [0.5, 1, 0.5] tent filter followed by
+    reshape-based decimation. (A single-pass 9-term sum of stride-2
+    slices looks cheaper on paper but measured 2.6x SLOWER on v5e —
+    lane-dimension strided slices defeat the (8, 128) tiling; the
+    strided-gather formulation is worse still.)
     '''
 
+    from ..ops.stencil import shift2d
     nz, nx = v.shape[-2:]
     nzc, nxc = _coarse_extent(nz), _coarse_extent(nx)
-    lead = [(0, 0)] * (v.ndim - 2)
-    # pad so every (a, b) in {-1,0,1}^2 slice is in bounds:
-    # row index 2I + a + 1 for I < nzc needs 2*nzc + 1 <= nz + pad
-    vp = jnp.pad(v, lead + [(1, 2 * nzc + 1 - nz), (1, 2 * nxc + 1 - nx)])
-    out = None
-    for az in (-1, 0, 1):
-        for ax in (-1, 0, 1):
-            w = 0.25 * _W[az + 1] * _W[ax + 1]
-            sl = lax.slice(
-                vp,
-                [0] * (v.ndim - 2) + [1 + az, 1 + ax],
-                list(vp.shape[:-2]) + [1 + az + 2 * (nzc - 1) + 1,
-                                       1 + ax + 2 * (nxc - 1) + 1],
-                [1] * (v.ndim - 2) + [2, 2])
-            term = w * sl
-            out = term if out is None else out + term
-    return out
+    t = v + 0.5 * (shift2d(v, 1, 0) + shift2d(v, -1, 0))
+    t = t + 0.5 * (shift2d(t, 0, 1) + shift2d(t, 0, -1))
+    t = 0.25 * t
+    pz, px = 2 * nzc - nz, 2 * nxc - nx
+    t = jnp.pad(t, [(0, 0)] * (t.ndim - 2) + [(0, pz), (0, px)])
+    t = t.reshape(t.shape[:-2] + (nzc, 2, nxc, 2))
+    return t[..., :, 0, :, 0]
+
+
+def _prolong_ref(vc, nz, nx):
+    '''
+    Bilinear prolongation of (..., nzc, nxc) onto the (nz, nx) fine grid.
+
+    Implemented as zero-interleaving (stack + reshape) followed by a
+    separable tent filter [0.5, 1, 0.5] per axis: out[2I+a, 2J+b] =
+    w(a) w(b) vc[I, J] summed over contributions, identical to scattering
+    with the _W weights but with no scatter ops (strided scatter-add is a
+    catastrophic slow path on TPU: measured 60 ms vs 0.3 ms per 512^2
+    V-cycle transfer).
+    '''
+
+    from ..ops.stencil import shift2d
+    nzc, nxc = vc.shape[-2:]
+    lead = vc.shape[:-2]
+    zx = jnp.stack([vc, jnp.zeros_like(vc)], axis=-1)
+    zx = zx.reshape(lead + (nzc, 2 * nxc))
+    zz = jnp.stack([zx, jnp.zeros_like(zx)], axis=-2)
+    zz = zz.reshape(lead + (2 * nzc, 2 * nxc))
+    out = zz + 0.5 * (shift2d(zz, 1, 0) + shift2d(zz, -1, 0))
+    out = out + 0.5 * (shift2d(out, 0, 1) + shift2d(out, 0, -1))
+    return out[..., :nz, :nx]
+
+
+# --- Pallas fast paths (TPU): dispatched when a (B=1, nz, nx) transfer is
+# --- vmapped over an RHS batch, mirroring the stencil-op dispatch pattern.
+# --- Further (e.g. frequency) batching falls back to the jnp reference.
+
+def _pallas_transfers_wanted():
+    from ..ops.stencil import _pallas_wanted
+    return _pallas_wanted()
+
+
+@jax.custom_batching.custom_vmap
+def _restrict_batched(v):
+    'Batched restriction (R, nz, nx); Pallas on TPU when eligible.'
+
+    if _pallas_transfers_wanted():
+        from ..ops.pallas_transfer import (restrict_pallas_batched,
+                                           restrict_pallas_applicable)
+        if restrict_pallas_applicable(v):
+            return restrict_pallas_batched(v)
+    return _restrict_ref(v)
+
+
+@_restrict_batched.def_vmap
+def _restrict_batched_vmap(axis_size, in_batched, v):
+    return jax.vmap(_restrict_ref)(v), True
+
+
+@jax.custom_batching.custom_vmap
+def _restrict_example(v):
+    'Single-example (B, nz, nx) restriction; batches to the fused kernel.'
+
+    return _restrict_ref(v)
+
+
+@_restrict_example.def_vmap
+def _restrict_example_vmap(axis_size, in_batched, v):
+    if v.shape[1] == 1:
+        return _restrict_batched(v[:, 0])[:, None], True
+    return jax.vmap(_restrict_ref)(v), True
+
+
+def restrict(v):
+    'Full-weighting restriction (see _restrict_ref), with TPU fast path.'
+
+    if v.ndim == 3:
+        return _restrict_example(v)
+    return _restrict_ref(v)
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _prolong_dispatch(nz, nx):
+    @jax.custom_batching.custom_vmap
+    def batched(vc):
+        if _pallas_transfers_wanted():
+            from ..ops.pallas_transfer import (prolong_pallas_batched,
+                                               prolong_pallas_applicable)
+            if prolong_pallas_applicable(vc, nz, nx):
+                return prolong_pallas_batched(vc, nz, nx)
+        return _prolong_ref(vc, nz, nx)
+
+    @batched.def_vmap
+    def _batched_vmap(axis_size, in_batched, vc):
+        return jax.vmap(lambda q: _prolong_ref(q, nz, nx))(vc), True
+
+    @jax.custom_batching.custom_vmap
+    def example(vc):
+        return _prolong_ref(vc, nz, nx)
+
+    @example.def_vmap
+    def _example_vmap(axis_size, in_batched, vc):
+        if vc.shape[1] == 1:
+            return batched(vc[:, 0])[:, None], True
+        return jax.vmap(lambda q: _prolong_ref(q, nz, nx))(vc), True
+
+    return example
 
 
 def prolong(vc, nz, nx):
-    '''
-    Bilinear prolongation of (..., nzc, nxc) onto the (nz, nx) fine grid:
-    out[2I+a, 2J+b] = sum w(a') w(b') vc[...] — equivalently four parity
-    quadrants (even-even: vc; odd along an axis: two-point average)
-    interleaved by reshape. Single pass, no scatter ops (strided
-    scatter-add is a catastrophic slow path on TPU) and no
-    full-resolution filter passes.
-    '''
+    'Bilinear prolongation (see _prolong_ref), with TPU fast path.'
 
-    nzc, nxc = vc.shape[-2:]
-    lead = vc.shape[:-2]
-    pads = [(0, 0)] * (vc.ndim - 2)
-    vzp = jnp.pad(vc, pads + [(0, 1), (0, 0)])   # vc[I+1] with zero fill
-    vz = 0.5 * (vzp[..., :-1, :] + vzp[..., 1:, :])   # odd-z quadrant
-    vxp = jnp.pad(vc, pads + [(0, 0), (0, 1)])
-    vx = 0.5 * (vxp[..., :, :-1] + vxp[..., :, 1:])   # odd-x quadrant
-    vzx_p = jnp.pad(vz, pads + [(0, 0), (0, 1)])
-    vzx = 0.5 * (vzx_p[..., :, :-1] + vzx_p[..., :, 1:])  # odd-odd
-    # interleave parities: out[2I+a, 2J+b] = quad[a][b][I, J]
-    top = jnp.stack([vc, vx], axis=-1).reshape(lead + (nzc, 2 * nxc))
-    bot = jnp.stack([vz, vzx], axis=-1).reshape(lead + (nzc, 2 * nxc))
-    out = jnp.stack([top, bot], axis=-2).reshape(lead + (2 * nzc, 2 * nxc))
-    return out[..., :nz, :nx]
+    if vc.ndim == 3:
+        return _prolong_dispatch(nz, nx)(vc)
+    return _prolong_ref(vc, nz, nx)
 
 
 class MGLevel(NamedTuple):

