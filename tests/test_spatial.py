@@ -12,7 +12,8 @@ from jax.sharding import Mesh
 
 from zephyr_tpu.ops.minizephyr_coeff import minizephyr_planes
 from zephyr_tpu.ops.stencil import apply_block_stencil
-from zephyr_tpu.parallel.spatial import make_sharded_apply, make_dd_solver
+from zephyr_tpu.parallel.spatial import (make_sharded_apply,
+                                         make_dd_solver, make_dd_dpred)
 from zephyr_tpu.solver.helmholtz import (SolverConfig, shifted_velocity)
 
 NZ, NX = 64, 128
@@ -25,11 +26,19 @@ def _mesh(n=4):
     return Mesh(np.array(jax.devices()[:n]), axis_names=('x',))
 
 
-def _planes():
+def _mesh2d(nz=2, nx=2):
+    if jax.device_count() < nz * nx:
+        pytest.skip('needs %d devices' % (nz * nx))
+    return Mesh(np.array(jax.devices()[:nz * nx]).reshape(nz, nx),
+                axis_names=('z', 'x'))
+
+
+def _planes(tol=1e-8):
     c = 2000. * jnp.ones((NZ, NX), dtype=jnp.complex128)
     rho = jnp.ones((NZ, NX))
     planes = minizephyr_planes(c, rho, FREQ, nPML=6)[None, None]
-    cfg = SolverConfig(tol=1e-8, maxiter=600)
+    cfg = SolverConfig(tol=tol, maxiter=600, mg_coarse='inv',
+                       mg_min_size=16)
     pplanes = minizephyr_planes(shifted_velocity(c, cfg.shift), rho, FREQ,
                                 nPML=6, pml_cap=cfg.pml_cap)[None, None]
     return planes, pplanes, cfg
@@ -47,7 +56,24 @@ def test_sharded_apply_matches_unsharded():
     assert np.allclose(np.asarray(sharded), np.asarray(ref), atol=1e-12)
 
 
-@pytest.mark.slow
+def test_sharded_apply_2d_tiles_matches_unsharded():
+    mesh = _mesh2d(2, 2)
+    planes, _, _ = _planes()
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.standard_normal((1, NZ, NX))
+                    + 1j * rng.standard_normal((1, NZ, NX)))
+
+    ref = apply_block_stencil(planes, u)
+    sharded = make_sharded_apply(mesh, axis_name='x', axis_z='z')(planes, u)
+    assert np.allclose(np.asarray(sharded), np.asarray(ref), atol=1e-12)
+
+
+def _reference_solve(planes, pplanes, cfg, qj):
+    from zephyr_tpu.solver.helmholtz import prepare_operator, solve_info
+    op = prepare_operator(planes, pplanes, cfg, with_transpose=False)
+    return solve_info(op, qj, cfg)
+
+
 def test_dd_solve_matches_global():
     mesh = _mesh(4)
     planes, pplanes, cfg = _planes()
@@ -60,14 +86,67 @@ def test_dd_solve_matches_global():
     x, iters, relres = solver(planes, pplanes, qj)
     assert float(relres) < 1e-7
 
-    # check against the single-device reference solve
-    from zephyr_tpu.solver.helmholtz import prepare_operator, solve_info
-    op = prepare_operator(planes, pplanes, cfg, with_transpose=False)
-    x_ref, ref_iters, _ = solve_info(op, qj, cfg)
+    x_ref, ref_iters, _ = _reference_solve(planes, pplanes, cfg, qj)
     rel = np.linalg.norm(np.asarray(x) - np.asarray(x_ref)) \
         / np.linalg.norm(np.asarray(x_ref))
     assert rel < 1e-5
 
-    # additive-Schwarz preconditioning is weaker than global multigrid,
-    # but must stay within a small factor of the single-device count
+    # the shard-local hybrid (additive Schwarz) must stay within a small
+    # factor of the single-device iteration count
     assert int(iters) < 4 * max(int(ref_iters), 1)
+
+
+def test_dd_solve_2d_tiles_batched_rhs():
+    'DD over (z, x) tiles with a batched RHS matches the global solve.'
+    mesh = _mesh2d(2, 2)
+    planes, pplanes, cfg = _planes()
+
+    q = np.zeros((2, 1, NZ, NX), dtype=np.complex128)
+    q[0, 0, NZ // 2, NX // 2] = 1.0
+    q[1, 0, NZ // 3, 2 * NX // 3] = 1.0 - 0.5j
+    qj = jnp.asarray(q)
+
+    solver = make_dd_solver(mesh, cfg, axis_name='x', axis_z='z')
+    x, iters, relres = solver(planes, pplanes, qj)
+    assert float(relres) < 1e-7
+
+    for r in range(2):
+        x_ref, _, _ = _reference_solve(planes, pplanes, cfg, qj[r])
+        rel = np.linalg.norm(np.asarray(x[r]) - np.asarray(x_ref)) \
+            / np.linalg.norm(np.asarray(x_ref))
+        assert rel < 1e-5
+
+
+def test_dd_dpred_matches_multifreq_dpred():
+    'The DD production forward == the single-device differentiable path.'
+    from zephyr_tpu.parallel.multifreq import multifreq_dpred
+
+    mesh = _mesh(4)
+    cfg = SolverConfig(tol=1e-8, maxiter=600, mg_coarse='inv',
+                       mg_min_size=16)
+    freqs = np.array([80., 110.])
+    nsrc, nrec = 2, 3
+    c = 2000. * np.ones((NZ, NX))
+    c[NZ // 2:] = 2600.
+    rho = np.ones((NZ, NX))
+    q = np.zeros((2, nsrc, NZ, NX), np.complex128)
+    q[:, 0, 16, 20] = 1.0
+    q[:, 1, 40, 90] = 1.0
+    Rg = np.zeros((nrec, NZ, NX), np.complex128)
+    Rg[0, 10, 40] = 1.0
+    Rg[1, 30, 64] = 1.0
+    Rg[2, 50, 100] = 1.0
+
+    dpred = make_dd_dpred(mesh, freqs, cfg, nPML=6)
+    d_dd, info = dpred(jnp.asarray(c + 0j), jnp.asarray(rho),
+                       jnp.asarray(q), jnp.asarray(Rg))
+    for iters, relres in info:
+        assert relres < 1e-7
+
+    d_ref = multifreq_dpred(jnp.asarray(c + 0j), jnp.asarray(rho),
+                            jnp.asarray(freqs), jnp.asarray(q),
+                            jnp.asarray(Rg.reshape(nrec, NZ * NX)),
+                            config=cfg, nPML=6)
+    rel = np.linalg.norm(np.asarray(d_dd) - np.asarray(d_ref)) \
+        / np.linalg.norm(np.asarray(d_ref))
+    assert rel < 1e-5

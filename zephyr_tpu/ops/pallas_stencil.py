@@ -356,6 +356,216 @@ def jacobi_sweep_pallas_batched(planes, dinv_eff, b, u, interpret=False):
                          TZ, TX, interpret)
 
 
+# ---------------------------------------------------------------------------
+# Fused double Jacobi sweep: two damped sweeps in ONE pass with redundant
+# halo compute. Traffic is that of a single sweep (planes + b + u + out),
+# and the coefficient windows are fetched once per spatial tile (the
+# batch index is the innermost grid dimension), so the pair costs ~1x
+# instead of 2x a single sweep. u' = u + D (b - A u), applied twice.
+# ---------------------------------------------------------------------------
+
+
+def _accumulate_offsets_shaped(pr, pi, urt, uit, oz, ox, SZ, SX):
+    '''
+    9-offset complex FMA producing an (SZ, SX) block whose [0, 0] output
+    element corresponds to window element [oz, ox]: out = (A u)[oz:oz+SZ,
+    ox:ox+SX] with plane windows indexed identically to u windows.
+    '''
+
+    acc_r = jnp.zeros((SZ, SX), jnp.float32)
+    acc_i = jnp.zeros((SZ, SX), jnp.float32)
+    for k, (dz, dx) in enumerate(OFFSETS):
+        ur = urt[oz + dz:oz + dz + SZ, ox + dx:ox + dx + SX]
+        ui = uit[oz + dz:oz + dz + SZ, ox + dx:ox + dx + SX]
+        kr = pr[k, oz:oz + SZ, ox:ox + SX]
+        ki = pi[k, oz:oz + SZ, ox:ox + SX]
+        acc_r += kr * ur - ki * ui
+        acc_i += kr * ui + ki * ur
+    return acc_r, acc_i
+
+
+def _jacobi2_kernel(pr_hbm, pi_hbm, dr_hbm, di_hbm, br_hbm, bi_hbm,
+                    ur_hbm, ui_hbm, or_ref, oi_ref,
+                    p_tile, d_tile, bu_tile, sem_p, sem_bu,
+                    *, TZ, TX, from_zero):
+    '''
+    Grid (nz/TZ, nx/TX, R). All inputs are padded ((2, 6), (2, 126)) so
+    each (TZ+8, TX+128) window carries a >= 2-cell halo. Coefficient
+    windows (planes, dinv) are fetched once per spatial tile (at r == 0);
+    b (and u unless from_zero) stream double-buffered per batch step.
+    '''
+
+    iz = pl.program_id(0)
+    jx = pl.program_id(1)
+    r = pl.program_id(2)
+    nJ = pl.num_programs(1)
+    nR = pl.num_programs(2)
+    total = pl.num_programs(0) * nJ * nR
+    step = (iz * nJ + jx) * nR + r
+    slot = lax.rem(step, jnp.int32(2))
+    nslot = 1 - slot
+
+    nbu = 2 if from_zero else 4      # (br, bi) or (br, bi, ur, ui)
+
+    # coefficient windows: once per spatial tile
+    @pl.when(r == 0)
+    def _():
+        cp0 = pltpu.make_async_copy(
+            pr_hbm.at[:, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            p_tile.at[0], sem_p.at[0])
+        cp1 = pltpu.make_async_copy(
+            pi_hbm.at[:, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            p_tile.at[1], sem_p.at[1])
+        cd0 = pltpu.make_async_copy(
+            dr_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            d_tile.at[0], sem_p.at[2])
+        cd1 = pltpu.make_async_copy(
+            di_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            d_tile.at[1], sem_p.at[3])
+        cp0.start(); cp1.start(); cd0.start(); cd1.start()
+        cp0.wait(); cp1.wait(); cd0.wait(); cd1.wait()
+
+    hbm = (br_hbm, bi_hbm, ur_hbm, ui_hbm)[:nbu]
+
+    def _start(rr, zz, xx, s):
+        for a in range(nbu):
+            pltpu.make_async_copy(
+                hbm[a].at[rr, pl.ds(zz * TZ, TZ + 8),
+                          pl.ds(xx * TX, TX + 128)],
+                bu_tile.at[s, a], sem_bu.at[s, a]).start()
+
+    @pl.when(step == 0)
+    def _():
+        _start(r, iz, jx, 0)
+
+    nstep = step + 1
+
+    @pl.when(nstep < total)
+    def _():
+        nr = lax.rem(nstep, jnp.int32(nR))
+        t1 = nstep // nR
+        njx = lax.rem(t1, jnp.int32(nJ))
+        niz = t1 // nJ
+        _start(nr, niz, njx, nslot)
+
+    for a in range(nbu):
+        pltpu.make_async_copy(
+            hbm[a].at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            bu_tile.at[slot, a], sem_bu.at[slot, a]).wait()
+
+    pr = p_tile[0]
+    pi = p_tile[1]
+    dr = d_tile[0]
+    di = d_tile[1]
+    br = bu_tile[slot, 0]
+    bi = bu_tile[slot, 1]
+
+    # sweep 1 on the (TZ+2, TX+2) halo block whose [0,0] is window [1,1]
+    SZ1, SX1 = TZ + 2, TX + 2
+    if from_zero:
+        u1r = (dr[1:1 + SZ1, 1:1 + SX1] * br[1:1 + SZ1, 1:1 + SX1]
+               - di[1:1 + SZ1, 1:1 + SX1] * bi[1:1 + SZ1, 1:1 + SX1])
+        u1i = (dr[1:1 + SZ1, 1:1 + SX1] * bi[1:1 + SZ1, 1:1 + SX1]
+               + di[1:1 + SZ1, 1:1 + SX1] * br[1:1 + SZ1, 1:1 + SX1])
+    else:
+        ur = bu_tile[slot, 2]
+        ui = bu_tile[slot, 3]
+        a_r, a_i = _accumulate_offsets_shaped(pr, pi, ur, ui, 1, 1,
+                                              SZ1, SX1)
+        rr1 = br[1:1 + SZ1, 1:1 + SX1] - a_r
+        ri1 = bi[1:1 + SZ1, 1:1 + SX1] - a_i
+        u1r = ur[1:1 + SZ1, 1:1 + SX1] \
+            + dr[1:1 + SZ1, 1:1 + SX1] * rr1 - di[1:1 + SZ1,
+                                                  1:1 + SX1] * ri1
+        u1i = ui[1:1 + SZ1, 1:1 + SX1] \
+            + dr[1:1 + SZ1, 1:1 + SX1] * ri1 + di[1:1 + SZ1,
+                                                  1:1 + SX1] * rr1
+
+    # sweep 2 on the (TZ, TX) tile; u1's [0,0] is window [1,1], so the
+    # tile's window offset (2,2) is u1 offset (1,1)
+    a2_r = jnp.zeros((TZ, TX), jnp.float32)
+    a2_i = jnp.zeros((TZ, TX), jnp.float32)
+    for k, (dz, dx) in enumerate(OFFSETS):
+        u1r_s = u1r[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
+        u1i_s = u1i[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
+        kr = pr[k, 2:2 + TZ, 2:2 + TX]
+        ki = pi[k, 2:2 + TZ, 2:2 + TX]
+        a2_r += kr * u1r_s - ki * u1i_s
+        a2_i += kr * u1i_s + ki * u1r_s
+    rr2 = br[2:2 + TZ, 2:2 + TX] - a2_r
+    ri2 = bi[2:2 + TZ, 2:2 + TX] - a2_i
+    dr_c = dr[2:2 + TZ, 2:2 + TX]
+    di_c = di[2:2 + TZ, 2:2 + TX]
+    or_ref[0] = u1r[1:1 + TZ, 1:1 + TX] + dr_c * rr2 - di_c * ri2
+    oi_ref[0] = u1i[1:1 + TZ, 1:1 + TX] + dr_c * ri2 + di_c * rr2
+
+
+@partial(jax.jit, static_argnames=('interpret',))
+def jacobi_sweep2_pallas_batched(planes, dinv_eff, b, u, interpret=False):
+    '''
+    TWO fused damped-Jacobi sweeps for a (R, nz, nx) complex64 batch:
+    u'' where u' = u + dinv_eff (b - A u), u'' = u' + dinv_eff (b - A u').
+    Pass u=None for the from-zero variant (u treated as 0, i.e. the
+    V-cycle's first smoothing call). No AD rules.
+    '''
+
+    nz, nx = b.shape[-2:]
+    TZ = min(64, nz)
+    TX = min(512, nx)
+
+    pr = jnp.pad(jnp.real(planes).astype(jnp.float32),
+                 ((0, 0), (2, 6), (2, 126)))
+    pi = jnp.pad(jnp.imag(planes).astype(jnp.float32),
+                 ((0, 0), (2, 6), (2, 126)))
+    dr = jnp.pad(jnp.real(dinv_eff).astype(jnp.float32), ((2, 6), (2, 126)))
+    di = jnp.pad(jnp.imag(dinv_eff).astype(jnp.float32), ((2, 6), (2, 126)))
+    bp = jnp.pad(b, ((0, 0), (2, 6), (2, 126)))
+    br = jnp.real(bp).astype(jnp.float32)
+    bi = jnp.imag(bp).astype(jnp.float32)
+    from_zero = u is None
+    if from_zero:
+        ur = ui = jnp.zeros((1, 1, 1), jnp.float32)   # unused
+    else:
+        up = jnp.pad(u, ((0, 0), (2, 6), (2, 126)))
+        ur = jnp.real(up).astype(jnp.float32)
+        ui = jnp.imag(up).astype(jnp.float32)
+
+    R = b.shape[0]
+    grid = (nz // TZ, nx // TX, R)
+    nbu = 2 if from_zero else 4
+    kernel = partial(_jacobi2_kernel, TZ=TZ, TX=TX, from_zero=from_zero)
+    out_r, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 8,
+        out_specs=[
+            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, nz, nx), jnp.float32),
+            jax.ShapeDtypeStruct((R, nz, nx), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, 4, TZ + 8, TX + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        interpret=interpret,
+    )(pr, pi, dr, di, br, bi, ur, ui)
+    return lax.complex(out_r, out_i)
+
+
+def pallas_jacobi2_applicable(planes, b):
+    "Whether the fused double-sweep kernel supports these shapes/dtypes."
+
+    return _batched_tiles_ok(planes, b, 64)
+
+
 def _batched_tiles_ok(planes, u, tz):
     if planes.ndim != 3 or u.ndim != 3:
         return False

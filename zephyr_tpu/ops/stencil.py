@@ -207,6 +207,102 @@ def jacobi_sweep_fast(planes, dinv_eff, b, u):
     return _jacobi_scalar_fast(planes, dinv_eff, b, u)
 
 
+def _jacobi2_ref(p, d, bb, uu):
+    return _jacobi_ref(p, d, bb, _jacobi_ref(p, d, bb, uu))
+
+
+def _jacobi2z_ref(p, d, bb):
+    return _jacobi_ref(p, d, bb, d * bb)
+
+
+@jax.custom_batching.custom_vmap
+def _jacobi2_batched_fast(planes, dinv_eff, b, u):
+    'Batched fused DOUBLE sweep; further batching falls back to jnp.'
+
+    if _pallas_wanted():
+        from .pallas_stencil import (jacobi_sweep2_pallas_batched,
+                                     pallas_jacobi2_applicable)
+        if pallas_jacobi2_applicable(planes, b):
+            return jacobi_sweep2_pallas_batched(planes, dinv_eff, b, u)
+    return _jacobi2_ref(planes, dinv_eff, b, u)
+
+
+@_jacobi2_batched_fast.def_vmap
+def _jacobi2_batched_fast_vmap(axis_size, in_batched, planes, dinv_eff,
+                               b, u):
+    ax = lambda flag: 0 if flag else None
+    fn = jax.vmap(_jacobi2_ref, in_axes=tuple(ax(f) for f in in_batched))
+    return fn(planes, dinv_eff, b, u), True
+
+
+@jax.custom_batching.custom_vmap
+def _jacobi2_scalar_fast(planes, dinv_eff, b, u):
+    'Two damped-Jacobi sweeps; vmapped: dispatches to the fused kernel.'
+
+    return _jacobi2_ref(planes, dinv_eff, b, u)
+
+
+@_jacobi2_scalar_fast.def_vmap
+def _jacobi2_scalar_fast_vmap(axis_size, in_batched, planes, dinv_eff,
+                              b, u):
+    planes_b, dinv_b, b_b, u_b = in_batched
+    if u_b and b_b and not planes_b and not dinv_b:
+        return _jacobi2_batched_fast(planes, dinv_eff, b, u), True
+    ax = lambda flag: 0 if flag else None
+    fn = jax.vmap(_jacobi2_ref, in_axes=tuple(ax(f) for f in in_batched))
+    return fn(planes, dinv_eff, b, u), True
+
+
+@jax.custom_batching.custom_vmap
+def _jacobi2z_batched_fast(planes, dinv_eff, b):
+    'Batched double sweep FROM ZERO (saves the u input stream).'
+
+    if _pallas_wanted():
+        from .pallas_stencil import (jacobi_sweep2_pallas_batched,
+                                     pallas_jacobi2_applicable)
+        if pallas_jacobi2_applicable(planes, b):
+            return jacobi_sweep2_pallas_batched(planes, dinv_eff, b, None)
+    return _jacobi2z_ref(planes, dinv_eff, b)
+
+
+@_jacobi2z_batched_fast.def_vmap
+def _jacobi2z_batched_fast_vmap(axis_size, in_batched, planes, dinv_eff,
+                                b):
+    ax = lambda flag: 0 if flag else None
+    fn = jax.vmap(_jacobi2z_ref, in_axes=tuple(ax(f) for f in in_batched))
+    return fn(planes, dinv_eff, b), True
+
+
+@jax.custom_batching.custom_vmap
+def _jacobi2z_scalar_fast(planes, dinv_eff, b):
+    return _jacobi2z_ref(planes, dinv_eff, b)
+
+
+@_jacobi2z_scalar_fast.def_vmap
+def _jacobi2z_scalar_fast_vmap(axis_size, in_batched, planes, dinv_eff, b):
+    planes_b, dinv_b, b_b = in_batched
+    if b_b and not planes_b and not dinv_b:
+        return _jacobi2z_batched_fast(planes, dinv_eff, b), True
+    ax = lambda flag: 0 if flag else None
+    fn = jax.vmap(_jacobi2z_ref, in_axes=tuple(ax(f) for f in in_batched))
+    return fn(planes, dinv_eff, b), True
+
+
+def jacobi_sweep2_fast(planes, dinv_eff, b, u):
+    '''
+    TWO fused damped-Jacobi sweeps (one kernel pass on TPU when vmapped:
+    single-sweep traffic via redundant halo compute). No AD rules.
+    '''
+
+    return _jacobi2_scalar_fast(planes, dinv_eff, b, u)
+
+
+def jacobi_sweep2_zero_fast(planes, dinv_eff, b):
+    'Two fused sweeps from a zero initial guess.'
+
+    return _jacobi2z_scalar_fast(planes, dinv_eff, b)
+
+
 def apply_block_stencil_fast(planes, u):
     '''
     Same contract as ``apply_block_stencil``, but eligible for the fused

@@ -4,16 +4,18 @@ Spatial domain decomposition with halo exchange.
 The reference has NO spatial parallelism — its scaling axes are frequency,
 source, and ky fan-out (SURVEY.md section 2.5). For grids beyond one
 chip's memory/bandwidth comfort (the 2048^2+ north star), zephyr_tpu adds
-the missing axis: the (nz, nx) grid is sharded across a mesh axis along x,
-the 9-point stencil apply exchanges one-cell halos with its neighbours
-via ``jax.lax.ppermute`` (which XLA lowers to ICI ppermute / remote DMA),
-and everything else in the solver (pointwise smoothing, restriction/
-prolongation per shard, reductions via psum) composes through shard_map.
+the missing axis: the (nz, nx) grid is sharded across one or two mesh
+axes (x slabs or (z, x) tiles), the 9-point stencil apply exchanges
+one-cell halos with its neighbours via ``jax.lax.ppermute`` (which XLA
+lowers to ICI ppermute / remote DMA), and everything else in the solver
+composes through shard_map.
 
-This module provides the sharded stencil apply and a domain-decomposed
-Krylov solve where the multigrid preconditioner acts block-locally per
-shard (an additive-Schwarz flavour of the CSLP preconditioner: exact on
-shard interiors, coupled through the outer Krylov iteration).
+The preconditioner acts shard-locally (additive Schwarz) but is the FULL
+production hybrid stack — each shard runs ``prepare_operator`` on its own
+slab (stratified/spectral interior solve + CSLP multigrid + exact coarse
+inverse), so DD solves inherit every single-chip preconditioner
+improvement; the global coupling is carried by the halo-exchanging
+matvec and psum inner products of the outer Krylov iteration.
 '''
 
 from functools import partial
@@ -27,41 +29,63 @@ from jax import shard_map
 from ..ops.stencil import OFFSETS
 
 
-def halo_exchange_x(u_local, axis_name):
+def _exchange_axis(u_local, axis_name, dim):
     '''
-    Exchange one-column halos with the left/right neighbour shards along
-    ``axis_name``. u_local: (..., nz, nx_local). Returns the local block
-    padded to (..., nz, nx_local + 2), zero-filled at the global edges.
+    Exchange one-cell halos along array dimension ``dim`` (-1 for x
+    columns, -2 for z rows) across mesh axis ``axis_name``. Returns the
+    local block grown by 2 along ``dim``, zero-filled at global edges.
     '''
 
     idx = lax.axis_index(axis_name)
     n = lax.axis_size(axis_name)
 
-    right_edge = u_local[..., :, -1:]
-    left_edge = u_local[..., :, :1]
+    lo_edge = lax.slice_in_dim(u_local, 0, 1, axis=u_local.ndim + dim)
+    hi_edge = lax.slice_in_dim(u_local, u_local.shape[dim] - 1,
+                               u_local.shape[dim], axis=u_local.ndim + dim)
 
-    # send my right edge to my right neighbour (it becomes their left halo)
-    from_left = lax.ppermute(right_edge, axis_name,
-                             [(i, (i + 1) % n) for i in range(n)])
-    # send my left edge to my left neighbour (their right halo)
-    from_right = lax.ppermute(left_edge, axis_name,
-                              [(i, (i - 1) % n) for i in range(n)])
-
-    # zero the wrapped halos at the global boundary
-    from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
-    from_right = jnp.where(idx == n - 1, jnp.zeros_like(from_right),
-                           from_right)
-
-    return jnp.concatenate([from_left, u_local, from_right], axis=-1)
+    # my high edge becomes my successor's low halo, and vice versa
+    from_lo = lax.ppermute(hi_edge, axis_name,
+                           [(i, (i + 1) % n) for i in range(n)])
+    from_hi = lax.ppermute(lo_edge, axis_name,
+                           [(i, (i - 1) % n) for i in range(n)])
+    from_lo = jnp.where(idx == 0, jnp.zeros_like(from_lo), from_lo)
+    from_hi = jnp.where(idx == n - 1, jnp.zeros_like(from_hi), from_hi)
+    return jnp.concatenate([from_lo, u_local, from_hi],
+                           axis=u_local.ndim + dim)
 
 
-def apply_stencil_sharded(planes_local, u_local, axis_name):
+def halo_exchange_x(u_local, axis_name):
     '''
-    The 9-point block-stencil apply on an x-sharded grid. planes_local:
-    (B, B, 9, nz, nx_local); u_local: (B, nz, nx_local). Must run inside
-    shard_map over ``axis_name``.
+    Exchange one-column halos with the left/right neighbour shards along
+    ``axis_name``. u_local: (..., nz, nx_local) -> (..., nz, nx_local+2),
+    zero-filled at the global edges.
     '''
 
+    return _exchange_axis(u_local, axis_name, -1)
+
+
+def halo_exchange_2d(u_local, axis_z, axis_x):
+    '''
+    Two-axis halo exchange for (z, x)-tiled grids: x columns first, then
+    z rows of the x-extended block — the corner halos ride the second
+    exchange automatically. Returns (..., nz_local+2, nx_local+2).
+    '''
+
+    uh = _exchange_axis(u_local, axis_x, -1)
+    return _exchange_axis(uh, axis_z, -2)
+
+
+def apply_stencil_sharded(planes_local, u_local, axis_name=None,
+                          axis_z=None, axis_x=None):
+    '''
+    The 9-point block-stencil apply on a spatially sharded grid.
+    planes_local: (B, B, 9, nz_l, nx_l); u_local: (B, nz_l, nx_l). Must
+    run inside shard_map. Pass ``axis_name`` (x-slabs, back-compat) or
+    ``axis_x`` and optionally ``axis_z`` for 2D (z, x) tiles.
+    '''
+
+    if axis_x is None:
+        axis_x = axis_name
     B = planes_local.shape[0]
     nz, nxl = u_local.shape[-2:]
 
@@ -69,8 +93,11 @@ def apply_stencil_sharded(planes_local, u_local, axis_name):
     for i in range(B):
         acc = None
         for j in range(B):
-            uh = halo_exchange_x(u_local[j], axis_name)   # (nz, nxl+2)
-            up = jnp.pad(uh, ((1, 1), (0, 0)))            # z zero-pad
+            if axis_z is None:
+                uh = halo_exchange_x(u_local[j], axis_x)  # (nz, nxl+2)
+                up = jnp.pad(uh, ((1, 1), (0, 0)))        # z zero-pad
+            else:
+                up = halo_exchange_2d(u_local[j], axis_z, axis_x)
             for k, (dz, dx) in enumerate(OFFSETS):
                 term = planes_local[i, j, k] \
                     * lax.dynamic_slice(up, (1 + dz, 1 + dx), (nz, nxl))
@@ -79,39 +106,59 @@ def apply_stencil_sharded(planes_local, u_local, axis_name):
     return jnp.stack(rows, axis=0)
 
 
-def make_sharded_apply(mesh, axis_name='x'):
+def make_sharded_apply(mesh, axis_name='x', axis_z=None):
     '''
     Build a jitted (planes, u) -> A u over a grid sharded along
-    ``axis_name`` (last axis of every array). planes replicate in B/9
-    and shard in x; u shards in x.
+    ``axis_name`` (and optionally ``axis_z`` for 2D tiles).
     '''
 
-    pspec = P(None, None, None, None, axis_name)
-    uspec = P(None, None, axis_name)
+    pspec = P(None, None, None, axis_z, axis_name)
+    uspec = P(None, axis_z, axis_name)
 
-    fn = shard_map(partial(apply_stencil_sharded, axis_name=axis_name),
+    fn = shard_map(partial(apply_stencil_sharded, axis_x=axis_name,
+                           axis_z=axis_z),
                    mesh=mesh, in_specs=(pspec, uspec), out_specs=uspec)
     return jax.jit(fn)
 
 
-def _dot(a, b, axis_name):
+def _dot(a, b, axes):
     'Mesh-global complex inner product of shard-local arrays.'
-    return lax.psum(jnp.vdot(a, b), axis_name)
+    return lax.psum(jnp.vdot(a, b), axes)
 
 
 def sharded_bicgstab(planes_local, b_local, M_local, axis_name,
-                     tol=1e-6, maxiter=500):
+                     tol=1e-6, maxiter=500, axis_z=None):
     '''
-    BiCGStab over the x-sharded domain: matvecs exchange halos, inner
-    products psum over the mesh, and the preconditioner ``M_local`` acts
-    shard-locally (additive Schwarz). Runs inside shard_map.
+    BiCGStab over the spatially sharded domain: matvecs exchange halos,
+    inner products psum over the mesh axes, and the preconditioner
+    ``M_local`` acts shard-locally (additive Schwarz). Runs inside
+    shard_map. ``b_local`` may carry a leading batch axis (R, B, nz, nx):
+    all right-hand sides iterate in lockstep until the worst residual
+    meets tol.
     '''
 
-    mv = partial(apply_stencil_sharded, planes_local,
-                 axis_name=axis_name)
+    axes = (axis_name,) if axis_z is None else (axis_z, axis_name)
+    mv_one = partial(apply_stencil_sharded, planes_local,
+                     axis_x=axis_name, axis_z=axis_z)
+    batched = b_local.ndim == 4
+
+    if batched:
+        mv = jax.vmap(mv_one)
+        Mfn = jax.vmap(M_local)
+
+        def _gdot(a, b):
+            # per-RHS inner products, psummed over the mesh
+            loc = jnp.sum(jnp.conj(a) * b, axis=(1, 2, 3))
+            return lax.psum(loc, axes)
+    else:
+        mv = mv_one
+        Mfn = M_local
+
+        def _gdot(a, b):
+            return _dot(a, b, axes)
 
     def norm(a):
-        return jnp.sqrt(jnp.abs(_dot(a, a, axis_name)).real)
+        return jnp.sqrt(jnp.abs(_gdot(a, a)).real)
 
     bnorm = norm(b_local)
     bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
@@ -120,37 +167,42 @@ def sharded_bicgstab(planes_local, b_local, M_local, axis_name,
     x0 = jnp.zeros_like(b_local)
     r0 = b_local - mv(x0)
     rhat = r0
-    # scalar carries here are psum outputs, i.e. axis-INVARIANT types
-    one = jnp.ones((), dtype=b_local.dtype)
-    down0 = jnp.asarray(False)
+    nR = b_local.shape[0] if batched else None
+    sshape = (nR,) if batched else ()
+    one = jnp.ones(sshape, dtype=b_local.dtype)
+    down0 = jnp.zeros(sshape, dtype=bool)
     tiny = jnp.finfo(jnp.real(jnp.zeros((), b_local.dtype)).dtype).tiny
+
+    def _bc(s):
+        'Broadcast a per-RHS scalar over the field axes.'
+        return s[..., None, None, None] if batched else s
 
     def _safe_div(num, den):
         bad = jnp.abs(den) < tiny
-        return jnp.where(bad, jnp.zeros((), b_local.dtype),
-                         num / jnp.where(bad, jnp.ones((), b_local.dtype),
-                                         den))
+        return jnp.where(bad, jnp.zeros_like(num),
+                         num / jnp.where(bad, jnp.ones_like(den), den))
 
     def cond(state):
         x, r, p, v, rho, alpha, omega, k, down = state
-        return (norm(r) > atol) & (k < maxiter) & jnp.logical_not(down)
+        active = (norm(r) > atol) & jnp.logical_not(down)
+        return jnp.any(active) & (k < maxiter)
 
     def body(state):
         x, r, p, v, rho, alpha, omega, k, down = state
-        rho_new = _dot(rhat, r, axis_name)
+        rho_new = _gdot(rhat, r)
         beta = _safe_div(rho_new * alpha, rho * omega)
-        p = r + beta * (p - omega * v)
-        phat = M_local(p)
+        p = r + _bc(beta) * (p - _bc(omega) * v)
+        phat = Mfn(p)
         v = mv(phat)
-        denom = _dot(rhat, v, axis_name)
+        denom = _gdot(rhat, v)
         alpha = _safe_div(rho_new, denom)
-        s = r - alpha * v
-        shat = M_local(s)
+        s = r - _bc(alpha) * v
+        shat = Mfn(s)
         t = mv(shat)
-        tt = _dot(t, t, axis_name)
-        omega_new = _safe_div(_dot(t, s, axis_name), tt)
-        x = x + alpha * phat + omega_new * shat
-        r = s - omega_new * t
+        tt = _gdot(t, t)
+        omega_new = _safe_div(_gdot(t, s), tt)
+        x = x + _bc(alpha) * phat + _bc(omega_new) * shat
+        r = s - _bc(omega_new) * t
         down = (jnp.abs(rho_new) < tiny) | (jnp.abs(denom) < tiny) \
             | (jnp.abs(omega_new) < tiny)
         return (x, r, p, v, rho_new, alpha, omega_new, k + 1, down)
@@ -158,46 +210,122 @@ def sharded_bicgstab(planes_local, b_local, M_local, axis_name,
     state0 = (x0, r0, jnp.zeros_like(b_local), jnp.zeros_like(b_local),
               one, one, one, jnp.zeros((), jnp.int32), down0)
     x, r, *_, k, _down = lax.while_loop(cond, body, state0)
-    return x, k, norm(r) / bnorm
+    return x, k, jnp.max(norm(r) / bnorm)
 
 
-def make_dd_solver(mesh, config=None, axis_name='x'):
+def _local_hybrid_precond(planes_local, pplanes_local, cfg):
+    '''
+    The FULL production preconditioner built on the local slab: each
+    shard runs prepare_operator on its own planes (stratified/spectral
+    interior solve + CSLP multigrid + exact coarse inverse), giving an
+    additive-Schwarz hybrid. Returns the M_local application.
+    '''
+
+    from ..solver.helmholtz import prepare_operator, _make_precond
+
+    op = prepare_operator(lax.stop_gradient(planes_local),
+                          lax.stop_gradient(pplanes_local), cfg,
+                          with_transpose=False)
+    return _make_precond(op, cfg)
+
+
+def make_dd_solver(mesh, config=None, axis_name='x', axis_z=None):
     '''
     Build a jitted domain-decomposed Helmholtz solve:
         (planes, precond_planes, b) -> (x, iters, relres)
-    with everything sharded along x. Each shard builds a multigrid
-    hierarchy from ITS slab of the shifted preconditioner planes and
-    applies V-cycles shard-locally (additive-Schwarz CSLP); the global
-    coupling is carried by the halo-exchanging matvec and the psum inner
-    products of the outer Krylov iteration.
+    with the grid sharded along ``axis_name`` (x slabs) and optionally
+    ``axis_z`` ((z, x) tiles). The preconditioner is the full hybrid
+    stack built shard-locally; the outer Krylov carries the coupling.
+    ``b`` may be (B, nz, nx) or batched (R, B, nz, nx).
     '''
 
     from ..solver.helmholtz import SolverConfig
-    from ..solver.multigrid import build_hierarchy, v_cycle
 
     cfg = config or SolverConfig()
 
-    pspec = P(None, None, None, None, axis_name)
-    uspec = P(None, None, axis_name)
+    pspec = P(None, None, None, axis_z, axis_name)
 
     def local_solve(planes_local, pplanes_local, b_local):
-        hier = build_hierarchy(lax.stop_gradient(pplanes_local),
-                               min_size=cfg.mg_min_size,
-                               coarse='iterative')
-        # MG-only additive Schwarz is much more coarse-solve-sensitive
-        # than the hybrid preconditioner: keep a high iteration cap here
-        # regardless of the global default.
-        M_local = lambda r: v_cycle(hier, r, omega=cfg.mg_omega,
-                                    nu1=cfg.mg_nu1, nu2=cfg.mg_nu2,
-                                    coarse_iters=max(cfg.mg_coarse_iters, 48))
+        M_local = _local_hybrid_precond(planes_local, pplanes_local, cfg)
         return sharded_bicgstab(planes_local, b_local, M_local,
                                 axis_name, tol=cfg.tol,
-                                maxiter=cfg.maxiter)
+                                maxiter=cfg.maxiter, axis_z=axis_z)
 
     def wrapper(planes, pplanes, b):
+        uspec = (P(None, axis_z, axis_name) if b.ndim == 3
+                 else P(None, None, axis_z, axis_name))
         return shard_map(
             local_solve, mesh=mesh,
             in_specs=(pspec, pspec, uspec),
             out_specs=(uspec, P(), P()))(planes, pplanes, b)
 
     return jax.jit(wrapper)
+
+
+def make_dd_dpred(mesh, freqs, config=None, axis_name='x', axis_z=None,
+                  Q=None, freqBase=0.0, **plane_kwargs):
+    '''
+    Production forward modelling over a spatially sharded grid:
+        dpred(c, rho, q, R) -> (nfreq, nsrc, nrec) data cube.
+
+    c, rho: (nz, nx) model fields (sharded over the mesh by GSPMD);
+    q: (nfreq, nsrc, nz, nx) source fields; R: (nrec, nz, nx) receiver
+    extraction fields (the (nrec, nz*nx) matrix reshaped to the grid so
+    it shards spatially). Each frequency runs one jitted DD solve; the
+    operator planes are built under the same jit, so XLA keeps every
+    array sharded end-to-end — this is the path for grids larger than
+    one chip's HBM. Differentiation is not supported here (use
+    multifreq_dpred); reference semantics match survey.dpred
+    (zephyr/middleware/survey.py:190-198).
+    '''
+
+    import numpy as np
+    from ..solver.helmholtz import SolverConfig, shifted_velocity
+    from ..ops.minizephyr_coeff import minizephyr_planes
+
+    cfg = config or SolverConfig()
+    if Q is None:
+        Q = np.inf
+
+    pspec = P(None, None, None, axis_z, axis_name)
+    qspec = P(None, None, axis_z, axis_name)     # (nsrc, B, nz, nx)
+    rspec = P(None, axis_z, axis_name)           # (nrec, nz, nx)
+
+    def one_freq(freq, c, rho, q_f, R):
+        from .multifreq import viscous_velocity
+        ci = viscous_velocity(c.astype(q_f.dtype), freq, Q, freqBase)
+        planes = minizephyr_planes(ci, rho, freq, **plane_kwargs)[None,
+                                                                  None]
+        pplanes = minizephyr_planes(
+            shifted_velocity(ci, cfg.shift), rho, freq,
+            pml_cap=cfg.pml_cap, **plane_kwargs)[None, None]
+
+        def local(planes_l, pplanes_l, b_l, R_l):
+            M_local = _local_hybrid_precond(planes_l, pplanes_l, cfg)
+            x, iters, relres = sharded_bicgstab(
+                planes_l, b_l, M_local, axis_name, tol=cfg.tol,
+                maxiter=cfg.maxiter, axis_z=axis_z)
+            u = jnp.conj(x[:, 0])                # (nsrc, nz_l, nx_l)
+            d_loc = jnp.einsum('rzx,szx->sr', R_l, u)
+            axes = ((axis_name,) if axis_z is None
+                    else (axis_z, axis_name))
+            return lax.psum(d_loc, axes), iters, relres
+
+        b = q_f[:, None]                         # (nsrc, 1, nz, nx)
+        return shard_map(local, mesh=mesh,
+                         in_specs=(pspec, pspec, qspec, rspec),
+                         out_specs=(P(), P(), P()))(planes, pplanes, b, R)
+
+    jfreq = jax.jit(one_freq)
+
+    def dpred(c, rho, q, R):
+        outs = []
+        info = []
+        for i, f in enumerate(np.asarray(freqs)):
+            d, iters, relres = jfreq(jnp.asarray(float(f)), c, rho,
+                                     q[i], R)
+            outs.append(d)
+            info.append((int(iters), float(relres)))
+        return jnp.stack(outs, axis=0), info
+
+    return dpred

@@ -353,22 +353,33 @@ def build_hierarchy(planes, min_size=16, max_levels=16, coarse='lu'):
     return MGHierarchy(tuple(levels), lu, piv, cinv)
 
 
-def _smooth(level, u, b, omega, nsweeps):
-    'Damped block-Jacobi sweeps. (Preconditioner-only: fast apply is OK.)'
+def _smooth(level, u, b, omega, nsweeps, from_zero=False):
+    '''
+    Damped block-Jacobi sweeps. (Preconditioner-only: fast apply is OK.)
+    ``from_zero=True`` asserts the incoming u is all-zero, enabling the
+    fused from-zero double-sweep kernel (saves the u input stream).
+    '''
 
     B = level.planes.shape[0]
     if B == 1:
-        # scalar operator: fused sweep (apply + diag-inverse + update in
-        # one pass; Pallas on TPU when vmapped)
-        from ..ops.stencil import jacobi_sweep_fast
+        # scalar operator: fused sweeps (apply + diag-inverse + update in
+        # one pass; double-sweep Pallas kernels on TPU when vmapped)
+        from ..ops.stencil import (jacobi_sweep_fast, jacobi_sweep2_fast,
+                                   jacobi_sweep2_zero_fast)
         dinv_eff = omega * level.dinv[0, 0]
         planes00 = level.planes[0, 0]
-
-        def body(_, u):
-            u0 = jacobi_sweep_fast(planes00, dinv_eff, b[..., 0, :, :],
-                                   u[..., 0, :, :])
-            return u0[..., None, :, :]
-        return lax.fori_loop(0, nsweeps, body, u)
+        bb = b[..., 0, :, :]
+        u0 = u[..., 0, :, :]
+        remaining = nsweeps
+        if from_zero and remaining >= 2:
+            u0 = jacobi_sweep2_zero_fast(planes00, dinv_eff, bb)
+            remaining -= 2
+        while remaining >= 2:
+            u0 = jacobi_sweep2_fast(planes00, dinv_eff, bb, u0)
+            remaining -= 2
+        if remaining:
+            u0 = jacobi_sweep_fast(planes00, dinv_eff, bb, u0)
+        return u0[..., None, :, :]
 
     def body(_, u):
         r = b - apply_block_stencil_fast(level.planes, u)
@@ -426,7 +437,7 @@ def v_cycle(hier, b, omega=0.6, nu1=2, nu2=2, level=0, coarse_iters=None):
         return _coarse_solve(hier, b, coarse_iters)
 
     u = jnp.zeros_like(b)
-    u = _smooth(lvl, u, b, omega, nu1)
+    u = _smooth(lvl, u, b, omega, nu1, from_zero=True)
     r = b - apply_block_stencil_fast(lvl.planes, u)
     rc = restrict(lvl.mask * r)
     ec = v_cycle(hier, rc, omega, nu1, nu2, level + 1, coarse_iters)
