@@ -150,7 +150,9 @@ def measure_tpu(n, nsrc, medium='hom'):
             num = jnp.sqrt(jnp.real(jnp.sum(jnp.conj(rel) * rel)))
             return num / rel.size
 
-        pos0 = np.array([[n // 2, n // 2]], np.int32)
+        # source OUTSIDE the comparison window (the reference's oracle
+        # test also excludes the source/near-field from its window)
+        pos0 = np.array([[n // 16, n // 16]], np.int32)
         b0 = realio_jit(make_rhs)(pos0)
         x0, _, _ = solver(op, b0)
         err = realio_jit(oracle_err, host_output=True)(
