@@ -57,7 +57,8 @@ def _common_setup():
 def _solver_cfg():
     from zephyr_tpu.solver.helmholtz import SolverConfig
     return SolverConfig(tol=1e-5, maxiter=2000, mg_coarse='inv',
-                        mg_min_size=32, fft_mode='strat', fft_scale=2)
+                        mg_min_size=32, fft_mode='strat', fft_scale=2,
+                        hybrid_comp='fused', mg_nu1=2, mg_nu2=1)
 
 
 def _layered_c(n, dtype=np.float32):

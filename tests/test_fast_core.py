@@ -256,3 +256,31 @@ def test_sharded_grad_matches_single_small():
 
     g1 = np.asarray(jax.grad(objective)(jnp.asarray(c)))
     assert np.allclose(np.asarray(grad), g1, rtol=1e-6, atol=1e-12)
+
+
+def test_fused_hybrid_matches_lu_small():
+    '''
+    hybrid_comp='fused' (PCR as the level-1 boost of one V-cycle; the
+    production 2048^2 bench configuration) solves to the same answer as
+    the dense LU, and its VJP (transpose solves fall back to 'mult')
+    matches the transposed dense solve.
+    '''
+    cfg = CFG._replace(mg_coarse='inv', tol=1e-9, fft_mode='strat',
+                       fft_scale=2, hybrid_comp='fused',
+                       mg_nu1=2, mg_nu2=1, mg_min_size=10)
+    c = np.full((NZ, NX), 1500.)
+    c[NZ // 2:] = 2400.
+    op = _mz_operator(cfg, with_transpose=True,
+                      c=jnp.asarray(c, jnp.complex128))
+    q = _delta(16, 28)
+    f = lambda b: solve(op, b, cfg)
+    x, vjp = jax.vjp(f, jnp.asarray(q))
+    A = planes_to_dense(np.asarray(op.planes[0, 0]))
+    x_lu = np.linalg.solve(A, q.ravel())
+    assert np.linalg.norm(np.asarray(x).ravel() - x_lu) \
+        / np.linalg.norm(x_lu) < 1e-6
+    g = _delta(20, 20) * (1.0 - 0.25j)
+    (gb,) = vjp(jnp.asarray(g))
+    gt = np.linalg.solve(A.T, g.ravel())
+    assert np.linalg.norm(np.asarray(gb).ravel() - gt) \
+        / np.linalg.norm(gt) < 1e-6

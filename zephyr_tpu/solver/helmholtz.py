@@ -83,6 +83,28 @@ class SolverConfig(NamedTuple):
                               # transfer operators (4x cheaper FFTs; the
                               # resonant ring at >= 8 cells/wavelength
                               # stays far below the coarse Nyquist)
+    hybrid_comp: str = 'mult'  # composition of the spectral solve P and
+                              # the V-cycle V in the hybrid
+                              # preconditioner:
+                              # 'mult': M r = P r + V (r - A P r) — P at
+                              #   fine resolution (through the transfer
+                              #   ops when fft_scale=2) plus one extra
+                              #   fine-grid matvec per application;
+                              # 'add':  M r = P r + V r — cheaper per
+                              #   application but measured 112 vs 48
+                              #   iterations at 2048^2 homogeneous:
+                              #   strictly worse, kept for experiments;
+                              # 'fused' (fft_scale=2, scalar, forward
+                              #   only): ONE cycle where the PCR solve
+                              #   becomes the level-1 coarse boost —
+                              #   fine pre-smooth, restrict, xc = PCR rc,
+                              #   coarse TRUE-operator residual, V-cycle
+                              #   from level 1, prolong, fine post-smooth.
+                              #   Same algebraic family as 'mult' with
+                              #   the fine<->half transfer passes and the
+                              #   fine matvec deduplicated (~25% cheaper
+                              #   per application). Transpose solves fall
+                              #   back to 'mult'.
     fft_mode: str = 'strat'   # 'strat' (default) = depth-stratified
                               # interior solve (per-row mean
                               # coefficients, x-FFT + tridiagonal-in-z
@@ -126,6 +148,8 @@ class HelmholtzOperator(NamedTuple):
     coarseT: Any = None    # its transpose (for the transpose solve)
     strat: Any = None      # (l, d, u) stratified interior tridiagonals
                            # (fft_mode='strat'; replaces fft_sinv)
+    cplanes: Any = None    # Galerkin-coarsened TRUE planes (the level-1
+                           # residual operator of hybrid_comp='fused')
 
 
 def _mean_interior_coeffs(planes):
@@ -241,7 +265,8 @@ def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
     sinv = None
     planesT = None
     need_coarse = config.deflate or (config.precond == 'hybrid'
-                                     and config.fft_scale > 1)
+                                     and (config.fft_scale > 1
+                                          or config.hybrid_comp == 'fused'))
     ctrue = cpp = None
     if need_coarse:
         # Galerkin-coarsened TRUE operator (preconditioner-internal:
@@ -298,8 +323,9 @@ def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
             coarseT = prepare_operator(transpose_block_planes(ctrue),
                                        transpose_block_planes(cpp), ccfg,
                                        with_transpose=False)
+    cplanes = ctrue if config.hybrid_comp == 'fused' else None
     return HelmholtzOperator(planes, hier, hierT, sinv, planesT,
-                             coarse, coarseT, strat)
+                             coarse, coarseT, strat, cplanes)
 
 
 def _effective_krylov(config, block_size):
@@ -391,24 +417,60 @@ def _make_precond(op, config, transpose=False):
                     return jnp.fft.ifft2(_sinv_apply(R))
 
         nzf, nxf = planes.shape[-2:]
-        if spec_shape == (nzf, nxf):
-            P = P0
+        if (config.hybrid_comp == 'fused' and not transpose
+                and op.cplanes is not None and len(hier.levels) > 1
+                and spec_shape != (nzf, nxf)):
+            # fused hybrid cycle: the PCR interior solve becomes the
+            # level-1 coarse-grid boost of ONE V-cycle — fine pre-smooth,
+            # restricted residual, xc = PCR rc, residual against the
+            # Galerkin-coarsened TRUE operator, V-cycle from level 1,
+            # prolong, fine post-smooth. Algebraically the same family
+            # as 'mult' with the duplicate fine<->half transfer passes
+            # and the fine-grid correction matvec removed.
+            from .multigrid import _smooth, restrict, prolong
+            lvl0 = hier.levels[0]
+            mask = lvl0.mask
+            cpl = lax.stop_gradient(op.cplanes)
+
+            def M0(r):
+                u = jnp.zeros_like(r)
+                u = _smooth(lvl0, u, r, config.mg_omega, config.mg_nu1,
+                            from_zero=True)
+                res = r - apply_block_stencil_fast(lvl0.planes, u)
+                rc = restrict(mask * res)
+                xc = P0(rc)
+                rc2 = rc - apply_block_stencil_fast(cpl, xc)
+                xc = xc + v_cycle(hier, rc2, omega=config.mg_omega,
+                                  nu1=config.mg_nu1, nu2=config.mg_nu2,
+                                  level=1,
+                                  coarse_iters=config.mg_coarse_iters)
+                u = u + mask * prolong(xc, nzf, nxf)
+                return _smooth(lvl0, u, r, config.mg_omega, config.mg_nu2)
+
         else:
-            # reduced-resolution spectral solve (fft_scale=2): interior
-            # solve on the Galerkin-coarsened operator between the MG
-            # transfer operators. Q = P_2h S_c R_2h; its transpose is
-            # P_2h S_c^T R_2h because R = (1/4) P^T exactly.
-            from .multigrid import restrict, prolong
-            maskP = hier.levels[0].mask
+            if spec_shape == (nzf, nxf):
+                P = P0
+            else:
+                # reduced-resolution spectral solve (fft_scale=2):
+                # interior solve on the Galerkin-coarsened operator
+                # between the MG transfer operators. Q = P_2h S_c R_2h;
+                # its transpose is P_2h S_c^T R_2h because R = (1/4) P^T
+                # exactly.
+                from .multigrid import restrict, prolong
+                maskP = hier.levels[0].mask
 
-            def P(r):
-                rc = restrict(maskP * r)
-                return maskP * prolong(P0(rc), nzf, nxf)
+                def P(r):
+                    rc = restrict(maskP * r)
+                    return maskP * prolong(P0(rc), nzf, nxf)
 
-        def M0(r):
-            x1 = P(r)
-            r2 = r - apply_block_stencil_fast(planes, x1)
-            return x1 + mg(r2)
+            if config.hybrid_comp == 'add':
+                def M0(r):
+                    return P(r) + mg(r)
+            else:
+                def M0(r):
+                    x1 = P(r)
+                    r2 = r - apply_block_stencil_fast(planes, x1)
+                    return x1 + mg(r2)
 
     cop = op.coarseT if transpose else op.coarse
     if cop is None or not config.deflate:
