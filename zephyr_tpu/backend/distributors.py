@@ -61,6 +61,35 @@ class BaseDist(DiscretizationWrapper):
         return {'remDists': self.remDists}
 
 
+class LazyFields(object):
+    '''
+    Lazily-evaluated wavefield sequence (parity: the reference
+    distributors yield wavefields through a generator so that nothing is
+    solved until a field is consumed and many-frequency jobs never hold
+    every wavefield at once — zephyr/backend/distributors.py:161-173).
+
+    Unlike a bare generator this is re-iterable and indexable: ``len``
+    is free (the subproblem count), iteration and ``[i]`` run the i-th
+    subproblem solve on demand, and nothing is cached — each consumption
+    recomputes, exactly like re-running the reference's pool dispatch.
+    '''
+
+    def __init__(self, thunks):
+        self._thunks = list(thunks)
+
+    def __len__(self):
+        return len(self._thunks)
+
+    def __iter__(self):
+        for thunk in self._thunks:
+            yield thunk()
+
+    def __getitem__(self, index):
+        if isinstance(index, slice):
+            return [thunk() for thunk in self._thunks[index]]
+        return self._thunks[index]()
+
+
 class BaseMPDist(BaseDist):
     '''
     The parallel distributor. The reference dispatches subproblems to a
@@ -94,7 +123,10 @@ class BaseMPDist(BaseDist):
                 subproblem), or generator thereof
 
         Returns:
-            list of wavefield arrays, one per subproblem
+            LazyFields — a lazily-evaluated, re-iterable, indexable
+            sequence of wavefield arrays, one per subproblem (parity
+            with the reference's lazy generator protocol,
+            zephyr/backend/distributors.py:161-173)
         '''
 
         import types
@@ -119,14 +151,20 @@ class BaseMPDist(BaseDist):
                 return rhs
 
         def scaled(result):
-            # nested distributors return lists of wavefields; apply the
-            # scale term through them (the reference never exercised
-            # nesting — its pool path would fail the same way)
+            # nested distributors return lazy/list wavefield sequences;
+            # apply the scale term through them without forcing
+            # evaluation (the reference never exercised nesting — its
+            # pool path would fail the same way)
+            if isinstance(result, LazyFields):
+                return LazyFields(
+                    (lambda t=t: scaled(t())) for t in result._thunks)
             if isinstance(result, list):
                 return [scaled(r) for r in result]
             return self.scaleTerm * result
 
-        return [scaled(sub * getRHS(i)) for i, sub in enumerate(subs)]
+        return LazyFields(
+            (lambda i=i, sub=sub: scaled(sub * getRHS(i)))
+            for i, sub in enumerate(subs))
 
 
 class BaseIPYDist(BaseDist):
