@@ -304,11 +304,20 @@ def measure_lu_baseline(n, nsrc):
     t_factor_big = t_factor * scale ** 1.5
     t_solve_big = t_solve * scale * (np.log(N) / np.log(N0))
     throughput = nsrc / (t_factor_big + nsrc * t_solve_big)
+    # RHS-amortization assumption (stated explicitly: the headline ratio
+    # is sensitive to it). The factorization is amortized over the SAME
+    # nsrc the TPU side solves; at the reference's typical 151-source
+    # surveys (notebooks/Test Inversion.ipynb) the LU amortizes better,
+    # so that harsher baseline is recorded alongside.
+    amortized_151 = 151 / (t_factor_big + 151 * t_solve_big)
     return throughput, {'t_factor_measured': t_factor,
                         't_solve_measured': t_solve,
                         't_factor_extrapolated': t_factor_big,
                         't_solve_extrapolated': t_solve_big,
-                        'lu_grid': LU_N}
+                        'lu_grid': LU_N,
+                        'amortization': 'factor amortized over %d RHS'
+                                        % nsrc,
+                        'lu_throughput_151src': amortized_151}
 
 
 def _probe_device(timeout_s=300):
@@ -445,6 +454,8 @@ def main():
         else:
             detail['gradient'] = grad
 
+    detail['vs_lu_151src_amortized'] = round(
+        tpu_throughput / lu_info['lu_throughput_151src'], 2)
     result = {
         'metric': 'Helmholtz solves/sec/chip at %d^2, %d sources batched'
                   % (n, BENCH_NSRC),
