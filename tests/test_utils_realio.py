@@ -125,6 +125,25 @@ def test_pallas_jacobi_sweep_interpret_matches_reference():
     assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 1e-5
 
 
+def test_pallas_presmooth_residual_interpret_matches_reference():
+    from zephyr_tpu.ops.pallas_stencil import (
+        presmooth2_residual_pallas_batched, pallas_ps2r_applicable)
+    from zephyr_tpu.ops.stencil import _ps2r_ref
+
+    R, nz, nx = 2, 16, 128
+    mk = lambda *s: jnp.asarray((RNG.standard_normal(s)
+                                 + 1j * RNG.standard_normal(s)
+                                 ).astype(np.complex64))
+    planes, dinv, b = mk(9, nz, nx), mk(nz, nx), mk(R, nz, nx)
+    mask = jnp.asarray(RNG.standard_normal((nz, nx)).astype(np.float32))
+    assert pallas_ps2r_applicable(planes, b)
+    u_ref, r_ref = jax.vmap(lambda bb: _ps2r_ref(planes, dinv, mask, bb))(b)
+    u, r = presmooth2_residual_pallas_batched(planes, dinv, mask, b,
+                                              interpret=True)
+    assert float(jnp.abs(u - u_ref).max() / jnp.abs(u_ref).max()) < 1e-5
+    assert float(jnp.abs(r - r_ref).max() / jnp.abs(r_ref).max()) < 1e-5
+
+
 def test_profiling_decorators():
     from zephyr_tpu.utils import timeIt, count, stats
 

@@ -586,3 +586,187 @@ def pallas_jacobi_applicable(planes, u):
     "Whether the fused Jacobi-sweep kernel supports these shapes/dtypes."
 
     return _batched_tiles_ok(planes, u, 64)
+
+
+# ---------------------------------------------------------------------------
+# Fused pre-smooth + residual: TWO from-zero damped-Jacobi sweeps AND the
+# masked fine-grid residual of the smoothed iterate in ONE pass (the
+# V-cycle's entire fine-level downstroke). Redundant halo compute; traffic
+# is b + coefficients in, u2 + masked residual out — one full read/write
+# round-trip of the iterate less than sweep-kernel + residual-kernel.
+# ---------------------------------------------------------------------------
+
+
+def _ps2r_kernel(pr_hbm, pi_hbm, dr_hbm, di_hbm, mr_hbm, br_hbm, bi_hbm,
+                 ur_ref, ui_ref, rr_ref, ri_ref,
+                 p_tile, d_tile, m_tile, bu_tile, sem_p, sem_bu,
+                 *, TZ, TX):
+    '''
+    Grid (nz/TZ, nx/TX, R). All inputs padded ((2, 6), (2, 126)) so each
+    (TZ+8, TX+128) window carries a >= 2-cell halo. u1 = D b on the
+    halo-2 block, u2 = u1 + D (b - A u1) on the halo-1 block,
+    res = mask * (b - A u2) on the output tile. Coefficient windows
+    (planes, dinv, mask) are fetched once per spatial tile (at r == 0);
+    b streams double-buffered per batch step.
+    '''
+
+    iz = pl.program_id(0)
+    jx = pl.program_id(1)
+    r = pl.program_id(2)
+    nJ = pl.num_programs(1)
+    nR = pl.num_programs(2)
+    total = pl.num_programs(0) * nJ * nR
+    step = (iz * nJ + jx) * nR + r
+    slot = lax.rem(step, jnp.int32(2))
+    nslot = 1 - slot
+
+    @pl.when(r == 0)
+    def _():
+        cp0 = pltpu.make_async_copy(
+            pr_hbm.at[:, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            p_tile.at[0], sem_p.at[0])
+        cp1 = pltpu.make_async_copy(
+            pi_hbm.at[:, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            p_tile.at[1], sem_p.at[1])
+        cd0 = pltpu.make_async_copy(
+            dr_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            d_tile.at[0], sem_p.at[2])
+        cd1 = pltpu.make_async_copy(
+            di_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            d_tile.at[1], sem_p.at[3])
+        cm = pltpu.make_async_copy(
+            mr_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            m_tile, sem_p.at[4])
+        cp0.start(); cp1.start(); cd0.start(); cd1.start(); cm.start()
+        cp0.wait(); cp1.wait(); cd0.wait(); cd1.wait(); cm.wait()
+
+    hbm = (br_hbm, bi_hbm)
+
+    def _start(rr_i, zz, xx, s):
+        for a in range(2):
+            pltpu.make_async_copy(
+                hbm[a].at[rr_i, pl.ds(zz * TZ, TZ + 8),
+                          pl.ds(xx * TX, TX + 128)],
+                bu_tile.at[s, a], sem_bu.at[s, a]).start()
+
+    @pl.when(step == 0)
+    def _():
+        _start(r, iz, jx, 0)
+
+    nstep = step + 1
+
+    @pl.when(nstep < total)
+    def _():
+        nr = lax.rem(nstep, jnp.int32(nR))
+        t1 = nstep // nR
+        njx = lax.rem(t1, jnp.int32(nJ))
+        niz = t1 // nJ
+        _start(nr, niz, njx, nslot)
+
+    for a in range(2):
+        pltpu.make_async_copy(
+            hbm[a].at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            bu_tile.at[slot, a], sem_bu.at[slot, a]).wait()
+
+    pr = p_tile[0]
+    pi = p_tile[1]
+    dr = d_tile[0]
+    di = d_tile[1]
+    br = bu_tile[slot, 0]
+    bi = bu_tile[slot, 1]
+
+    # sweep 1 from zero on the halo-2 block: u1 = D b on (TZ+4, TX+4)
+    # whose [0, 0] is window [0, 0]
+    SZ1, SX1 = TZ + 4, TX + 4
+    u1r = (dr[:SZ1, :SX1] * br[:SZ1, :SX1]
+           - di[:SZ1, :SX1] * bi[:SZ1, :SX1])
+    u1i = (dr[:SZ1, :SX1] * bi[:SZ1, :SX1]
+           + di[:SZ1, :SX1] * br[:SZ1, :SX1])
+
+    # sweep 2 on the halo-1 block (TZ+2, TX+2), [0,0] = window [1,1]
+    SZ2, SX2 = TZ + 2, TX + 2
+    a1_r = jnp.zeros((SZ2, SX2), jnp.float32)
+    a1_i = jnp.zeros((SZ2, SX2), jnp.float32)
+    for k, (dz, dx) in enumerate(OFFSETS):
+        ur = u1r[1 + dz:1 + dz + SZ2, 1 + dx:1 + dx + SX2]
+        ui = u1i[1 + dz:1 + dz + SZ2, 1 + dx:1 + dx + SX2]
+        kr = pr[k, 1:1 + SZ2, 1:1 + SX2]
+        ki = pi[k, 1:1 + SZ2, 1:1 + SX2]
+        a1_r += kr * ur - ki * ui
+        a1_i += kr * ui + ki * ur
+    rr1 = br[1:1 + SZ2, 1:1 + SX2] - a1_r
+    ri1 = bi[1:1 + SZ2, 1:1 + SX2] - a1_i
+    u2r = u1r[1:1 + SZ2, 1:1 + SX2] \
+        + dr[1:1 + SZ2, 1:1 + SX2] * rr1 - di[1:1 + SZ2, 1:1 + SX2] * ri1
+    u2i = u1i[1:1 + SZ2, 1:1 + SX2] \
+        + dr[1:1 + SZ2, 1:1 + SX2] * ri1 + di[1:1 + SZ2, 1:1 + SX2] * rr1
+
+    # masked residual on the (TZ, TX) tile; u2's [0,0] is window [1,1]
+    a2_r = jnp.zeros((TZ, TX), jnp.float32)
+    a2_i = jnp.zeros((TZ, TX), jnp.float32)
+    for k, (dz, dx) in enumerate(OFFSETS):
+        ur = u2r[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
+        ui = u2i[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
+        kr = pr[k, 2:2 + TZ, 2:2 + TX]
+        ki = pi[k, 2:2 + TZ, 2:2 + TX]
+        a2_r += kr * ur - ki * ui
+        a2_i += kr * ui + ki * ur
+    m = m_tile[2:2 + TZ, 2:2 + TX]
+    ur_ref[0] = u2r[1:1 + TZ, 1:1 + TX]
+    ui_ref[0] = u2i[1:1 + TZ, 1:1 + TX]
+    rr_ref[0] = m * (br[2:2 + TZ, 2:2 + TX] - a2_r)
+    ri_ref[0] = m * (bi[2:2 + TZ, 2:2 + TX] - a2_i)
+
+
+@partial(jax.jit, static_argnames=('interpret',))
+def presmooth2_residual_pallas_batched(planes, dinv_eff, mask, b,
+                                       interpret=False):
+    '''
+    The V-cycle fine-level downstroke in one kernel, for a (R, nz, nx)
+    complex64 batch: u2 = two damped Jacobi sweeps from zero on b, and
+    resm = mask * (b - A u2). Returns (u2, resm). No AD rules.
+    '''
+
+    nz, nx = b.shape[-2:]
+    TZ = min(64, nz)
+    TX = min(512, nx)
+
+    pr = jnp.pad(jnp.real(planes).astype(jnp.float32),
+                 ((0, 0), (2, 6), (2, 126)))
+    pi = jnp.pad(jnp.imag(planes).astype(jnp.float32),
+                 ((0, 0), (2, 6), (2, 126)))
+    dr = jnp.pad(jnp.real(dinv_eff).astype(jnp.float32), ((2, 6), (2, 126)))
+    di = jnp.pad(jnp.imag(dinv_eff).astype(jnp.float32), ((2, 6), (2, 126)))
+    mr = jnp.pad(jnp.real(mask).astype(jnp.float32), ((2, 6), (2, 126)))
+    bp = jnp.pad(b, ((0, 0), (2, 6), (2, 126)))
+    br = jnp.real(bp).astype(jnp.float32)
+    bi = jnp.imag(bp).astype(jnp.float32)
+
+    R = b.shape[0]
+    grid = (nz // TZ, nx // TX, R)
+    kernel = partial(_ps2r_kernel, TZ=TZ, TX=TX)
+    u2r, u2i, rr_, ri_ = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
+        out_specs=[
+            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
+                         memory_space=pltpu.VMEM)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((R, nz, nx), jnp.float32)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, 2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(pr, pi, dr, di, mr, br, bi)
+    return lax.complex(u2r, u2i), lax.complex(rr_, ri_)
+
+
+def pallas_ps2r_applicable(planes, b):
+    'Whether the fused presmooth+residual kernel supports these shapes.'
+
+    return _batched_tiles_ok(planes, b, 64)

@@ -478,3 +478,58 @@ def planes_to_dense_jax(planes):
                 vals = jnp.where(valid.ravel(), planes[bi, bj, k].ravel(), 0.)
                 A = A.at[bi * n + rows, bj * n + cols].add(vals)
     return A
+
+
+def _ps2r_ref(p, d, m, bb):
+    'Reference: two from-zero sweeps + masked residual of the iterate.'
+
+    u2 = _jacobi2z_ref(p, d, bb)
+    return u2, m * (bb - apply_stencil(p, u2))
+
+
+@jax.custom_batching.custom_vmap
+def _ps2r_batched_fast(planes, dinv_eff, mask, b):
+    'Batched fused presmooth+residual; further batching falls back.'
+
+    if _pallas_wanted():
+        from .pallas_stencil import (presmooth2_residual_pallas_batched,
+                                     pallas_ps2r_applicable)
+        if pallas_ps2r_applicable(planes, b):
+            return presmooth2_residual_pallas_batched(planes, dinv_eff,
+                                                      mask, b)
+    return _ps2r_ref(planes, dinv_eff, mask, b)
+
+
+@_ps2r_batched_fast.def_vmap
+def _ps2r_batched_fast_vmap(axis_size, in_batched, planes, dinv_eff,
+                            mask, b):
+    ax = lambda flag: 0 if flag else None
+    fn = jax.vmap(_ps2r_ref, in_axes=tuple(ax(f) for f in in_batched))
+    return fn(planes, dinv_eff, mask, b), (True, True)
+
+
+@jax.custom_batching.custom_vmap
+def _ps2r_scalar_fast(planes, dinv_eff, mask, b):
+    return _ps2r_ref(planes, dinv_eff, mask, b)
+
+
+@_ps2r_scalar_fast.def_vmap
+def _ps2r_scalar_fast_vmap(axis_size, in_batched, planes, dinv_eff,
+                           mask, b):
+    planes_b, dinv_b, mask_b, b_b = in_batched
+    if b_b and not planes_b and not dinv_b and not mask_b:
+        return _ps2r_batched_fast(planes, dinv_eff, mask, b), (True, True)
+    ax = lambda flag: 0 if flag else None
+    fn = jax.vmap(_ps2r_ref, in_axes=tuple(ax(f) for f in in_batched))
+    return fn(planes, dinv_eff, mask, b), (True, True)
+
+
+def presmooth2_residual_fast(planes, dinv_eff, mask, b):
+    '''
+    The V-cycle fine-level downstroke for a scalar (B=1) operator in one
+    fused pass (on TPU when vmapped): u2 = two damped-Jacobi sweeps from
+    zero, resm = mask * (b - A u2). Returns (u2, resm). No AD rules —
+    preconditioner-internal only.
+    '''
+
+    return _ps2r_scalar_fast(planes, dinv_eff, mask, b)

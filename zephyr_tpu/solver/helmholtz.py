@@ -427,17 +427,16 @@ def _make_precond(op, config, transpose=False):
             # prolong, fine post-smooth. Algebraically the same family
             # as 'mult' with the duplicate fine<->half transfer passes
             # and the fine-grid correction matvec removed.
-            from .multigrid import _smooth, restrict, prolong
+            from .multigrid import (_smooth, restrict, prolong,
+                                    presmooth_residual)
             lvl0 = hier.levels[0]
             mask = lvl0.mask
             cpl = lax.stop_gradient(op.cplanes)
 
             def M0(r):
-                u = jnp.zeros_like(r)
-                u = _smooth(lvl0, u, r, config.mg_omega, config.mg_nu1,
-                            from_zero=True)
-                res = r - apply_block_stencil_fast(lvl0.planes, u)
-                rc = restrict(mask * res)
+                u, rm = presmooth_residual(lvl0, r, config.mg_omega,
+                                           config.mg_nu1)
+                rc = restrict(rm)
                 xc = P0(rc)
                 rc2 = rc - apply_block_stencil_fast(cpl, xc)
                 xc = xc + v_cycle(hier, rc2, omega=config.mg_omega,

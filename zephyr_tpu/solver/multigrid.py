@@ -425,6 +425,28 @@ def _coarse_solve(hier, b, coarse_iters=None):
     return x.reshape(B, nz, nx)
 
 
+def presmooth_residual(lvl, b, omega, nu1):
+    '''
+    The V-cycle fine-level downstroke: nu1 damped-Jacobi sweeps from
+    zero plus the masked residual of the smoothed iterate,
+    (u, mask * (b - A u)). For scalar operators at nu1=2 this runs as
+    ONE fused Pallas pass on TPU (sweep kernel + residual kernel would
+    round-trip the iterate through HBM twice).
+    '''
+
+    B = lvl.planes.shape[0]
+    if B == 1 and nu1 == 2:
+        from ..ops.stencil import presmooth2_residual_fast
+        u0, resm = presmooth2_residual_fast(
+            lvl.planes[0, 0], omega * lvl.dinv[0, 0], lvl.mask,
+            b[..., 0, :, :])
+        return u0[..., None, :, :], resm[..., None, :, :]
+    u = jnp.zeros_like(b)
+    u = _smooth(lvl, u, b, omega, nu1, from_zero=True)
+    r = b - apply_block_stencil_fast(lvl.planes, u)
+    return u, lvl.mask * r
+
+
 def v_cycle(hier, b, omega=0.6, nu1=2, nu2=2, level=0, coarse_iters=None):
     '''
     One multigrid V-cycle for the (shifted) operator; returns an
@@ -436,10 +458,8 @@ def v_cycle(hier, b, omega=0.6, nu1=2, nu2=2, level=0, coarse_iters=None):
     if level == len(hier.levels) - 1:
         return _coarse_solve(hier, b, coarse_iters)
 
-    u = jnp.zeros_like(b)
-    u = _smooth(lvl, u, b, omega, nu1, from_zero=True)
-    r = b - apply_block_stencil_fast(lvl.planes, u)
-    rc = restrict(lvl.mask * r)
+    u, rm = presmooth_residual(lvl, b, omega, nu1)
+    rc = restrict(rm)
     ec = v_cycle(hier, rc, omega, nu1, nu2, level + 1, coarse_iters)
     nz, nx = b.shape[-2:]
     u = u + lvl.mask * prolong(ec, nz, nx)
