@@ -385,6 +385,20 @@ def _run_measure_only(mode):
 
 
 def main():
+    # Global wall-clock budget: the headline measurement always runs;
+    # each extra (layered/eurus/gradient) is attempted only while under
+    # budget, so a slow tunnel or cold compile cache degrades the detail
+    # instead of timing out the whole benchmark with no output.
+    t_start = time.time()
+    budget = float(os.environ.get('ZT_BENCH_TOTAL_BUDGET', 2100))
+
+    def _under_budget(label, detail):
+        left = budget - (time.time() - t_start)
+        if left < 120:
+            detail[label] = {'skipped': 'wall-clock budget exhausted'}
+            return None
+        return left
+
     platform = _probe_device()
     if platform is None:
         # TPU runtime hung at init: fall back to CPU so the benchmark
@@ -421,23 +435,30 @@ def main():
               'platform_probe': platform}
 
     if RUN_EXTRAS and not os.environ.get('ZT_BENCH_FORCE_CPU'):
-        lay = _measure_subprocess('layered', ZT_BENCH_N=n)
-        if lay and 'throughput' in lay:
-            lay_thr = lay['throughput']
-            detail['layered'] = dict(lay['info'],
-                                     solves_per_s=round(lay_thr, 4),
-                                     vs_lu=round(lay_thr / lu_throughput,
-                                                 2))
-        else:
-            detail['layered'] = lay
-        eur = _measure_subprocess('eurus')
-        if eur and 'throughput' in eur:
-            detail['eurus'] = dict(eur['info'],
-                                   solves_per_s=round(eur['throughput'],
-                                                      4))
-        else:
-            detail['eurus'] = eur
-        grad = _measure_subprocess('gradient', ZT_BENCH_N=n)
+        left = _under_budget('layered', detail)
+        if left:
+            lay = _measure_subprocess('layered', timeout=left,
+                                      ZT_BENCH_N=n)
+            if lay and 'throughput' in lay:
+                lay_thr = lay['throughput']
+                detail['layered'] = dict(lay['info'],
+                                         solves_per_s=round(lay_thr, 4),
+                                         vs_lu=round(lay_thr
+                                                     / lu_throughput, 2))
+            else:
+                detail['layered'] = lay
+        left = _under_budget('eurus', detail)
+        if left:
+            eur = _measure_subprocess('eurus', timeout=left)
+            if eur and 'throughput' in eur:
+                detail['eurus'] = dict(eur['info'],
+                                       solves_per_s=round(
+                                           eur['throughput'], 4))
+            else:
+                detail['eurus'] = eur
+        left = _under_budget('gradient', detail)
+        grad = (_measure_subprocess('gradient', timeout=left,
+                                    ZT_BENCH_N=n) if left else None)
         if grad and 'wall_s' in grad:
             # LU-gradient estimate: per frequency one factorization plus
             # forward + adjoint batched triangular solves (the reference
@@ -451,7 +472,7 @@ def main():
                                           lu_grad, 2),
                                       vs_lu=round(lu_grad
                                                   / grad['wall_s'], 2))
-        else:
+        elif grad is not None:
             detail['gradient'] = grad
 
     detail['vs_lu_151src_amortized'] = round(
