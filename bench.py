@@ -215,7 +215,12 @@ def measure_eurus(n, nsrc):
 def measure_gradient(n, nsrc, nfreq):
     '''
     FWI misfit + gradient wall-clock at scale: chunked adjoint-state
-    driver (forward + transpose solves per frequency, explicit gradient).
+    driver (forward + transpose solves per frequency, explicit gradient)
+    with per-frequency grid adaptation (targetGPW, the reference's
+    MultiGridMultiFreq semantics) — on a fixed grid the ref-parity PML
+    profile is frequency-independent, so low frequencies both converge
+    poorly and waste resolution; constant gridpoints-per-wavelength
+    keeps iteration counts flat across the band.
     '''
 
     _common_setup()
@@ -228,20 +233,18 @@ def measure_gradient(n, nsrc, nfreq):
     rho = np.ones((n, n))
     freqs = np.linspace(0.6, 1.0, nfreq) * (1500.0 / BENCH_WAVELEN_CELLS)
     rng = np.random.default_rng(2)
-    q = np.zeros((nfreq, nsrc, n, n), np.complex64)
-    pos = rng.integers(n // 8, 7 * n // 8, size=(nsrc, 2))
-    for s in range(nsrc):
-        q[:, s, pos[s, 0], pos[s, 1]] = 1.0
+    src_pos = rng.integers(n // 8, 7 * n // 8,
+                           size=(nsrc, 2)).astype(np.float64)
     nrec = 64
-    R = np.zeros((nrec, n * n), np.complex64)
-    rx = np.linspace(n // 8, 7 * n // 8, nrec).astype(int)
-    for r in range(nrec):
-        R[r, (n // 8) * n + rx[r]] = 1.0
+    rx = np.linspace(n // 8, 7 * n // 8, nrec)
+    rec_pos = np.stack([rx, np.full(nrec, float(n // 8))], axis=1)
     dobs = np.zeros((nfreq, nsrc, nrec), np.complex64)  # zero-data misfit
 
     t0 = time.time()
-    misfit, grad = fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
-                                           config=cfg, chunk=chunk)
+    misfit, grad = fwi_misfit_grad_chunked(
+        c, rho, freqs, None, None, dobs, config=cfg, chunk=chunk,
+        target_gpw=BENCH_WAVELEN_CELLS, src_pos=src_pos, rec_pos=rec_pos,
+        cmin=1500.0)
     t_total = time.time() - t0
     return t_total, {'misfit': float(misfit),
                      'grad_norm': float(np.linalg.norm(grad)),

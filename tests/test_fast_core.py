@@ -220,6 +220,97 @@ def test_chunked_fwi_gradient_matches_autodiff_small():
     assert np.linalg.norm(g1 - g0) / np.linalg.norm(g0) < 1e-6
 
 
+def test_chunked_fwi_gradient_stamps_matches_dense():
+    '''
+    The positions/stamps path at target_gpw large (no actual coarsening:
+    every frequency keeps the fine grid) must agree with the dense
+    q/R-matrix path built from the SAME Kaiser stamps — pins the
+    gather/scatter receiver algebra against the einsum reference.
+    '''
+    from zephyr_tpu.parallel.multifreq import (fwi_misfit_grad_chunked,
+                                               _kaiser_stamps,
+                                               freq_grid_plan)
+    nz, nx = 48, 40
+    cfg = SolverConfig(tol=1e-10, maxiter=400)
+    freqs = np.array([220.])
+    src_pos = np.array([[10.0, 12.0], [30.0, 18.0]])   # (x, z)
+    rec_pos = np.array([[32.0, 30.0], [8.0, 36.0], [20.0, 40.0]])
+    c = 2000. * np.ones((nz, nx))
+    c[20:30, 12:24] -= 150.
+    rho = np.ones((nz, nx))
+    dobs = np.zeros((1, 2, 3), np.complex128)
+
+    # huge target_gpw => scale formula gives < 1: clamped to fine grid
+    assert freq_grid_plan(nz, nx, freqs, 2000., target_gpw=1e6) \
+        == [(nz, nx)]
+
+    m_st, g_st = fwi_misfit_grad_chunked(
+        c, rho, freqs, None, None, dobs, config=cfg, chunk=2,
+        target_gpw=1e6, src_pos=src_pos, rec_pos=rec_pos, cmin=2000.,
+        nPML=8)
+
+    scols, svals = _kaiser_stamps((nz, nx), 1.0, 1.0, src_pos, 4)
+    rcols, rvals = _kaiser_stamps((nz, nx), 1.0, 1.0, rec_pos, 4,
+                                  receiver=True)
+    q = np.zeros((1, 2, nz, nx), np.complex128)
+    qf = q.reshape(1, 2, nz * nx)
+    np.add.at(qf[0], (np.arange(2)[:, None], np.asarray(scols)),
+              np.asarray(svals))
+    R = np.zeros((3, nz * nx), np.complex128)
+    np.add.at(R, (np.arange(3)[:, None], np.asarray(rcols)),
+              np.asarray(rvals))
+    m_d, g_d = fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
+                                       config=cfg, chunk=2, nPML=8)
+    assert abs(m_st - m_d) / abs(m_d) < 1e-8
+    assert np.linalg.norm(g_st - g_d) / np.linalg.norm(g_d) < 1e-8
+
+
+@pytest.mark.slow
+def test_chunked_fwi_gradient_grid_adapted_fd():
+    '''
+    Per-frequency targetGPW grid adaptation (the reference's
+    MultiGridMultiFreq semantics): the low frequency solves on a coarser
+    grid, and the returned gradient is the exact FINE-grid gradient of
+    the multi-scale misfit (finite-difference identity).
+    '''
+    from zephyr_tpu.parallel.multifreq import (fwi_misfit_grad_chunked,
+                                               freq_grid_plan)
+    nz = nx = 64
+    cfg = SolverConfig(tol=1e-11, maxiter=600)
+    freqs = np.array([150., 320.])
+    plans = freq_grid_plan(nz, nx, freqs, 2000., target_gpw=8.,
+                           quantum=16, min_size=32)
+    assert plans[0][0] < nz and plans[1] == (nz, nx)
+
+    src_pos = np.array([[12.0, 12.0], [40.0, 14.0]])
+    rec_pos = np.array([[48.0, 22.0], [16.0, 44.0], [50.0, 48.0]])
+    c = 2000. * np.ones((nz, nx))
+    c[24:40, 20:44] -= 120.
+    rho = np.ones((nz, nx))
+    dobs = np.zeros((2, 2, 3), np.complex128)
+
+    kw = dict(config=cfg, chunk=2, target_gpw=8., src_pos=src_pos,
+              rec_pos=rec_pos, cmin=2000., grid_quantum=16, grid_min=32,
+              nPML=8)
+    m0, g = fwi_misfit_grad_chunked(c, rho, freqs, None, None, dobs, **kw)
+    assert np.isfinite(m0) and np.isfinite(g).all()
+
+    rng = np.random.default_rng(3)
+    dc = rng.standard_normal((nz, nx))
+    # smooth the direction so the cubic-resample VJP is well-resolved
+    k = np.ones((5, 5)) / 25.
+    from scipy.signal import convolve2d
+    dc = convolve2d(dc, k, mode='same')
+    eps = 0.05
+    m_p, _ = fwi_misfit_grad_chunked(c + eps * dc, rho, freqs, None,
+                                     None, dobs, **kw)
+    m_m, _ = fwi_misfit_grad_chunked(c - eps * dc, rho, freqs, None,
+                                     None, dobs, **kw)
+    fd = (m_p - m_m) / (2 * eps)
+    an = float(np.sum(g * dc))
+    assert abs(fd - an) / abs(an) < 2e-4, (fd, an)
+
+
 def test_sharded_grad_matches_single_small():
     'Mesh-sharded FWI gradient == single-device gradient (tiny shapes).'
     from zephyr_tpu.parallel import make_mesh, make_sharded_fwi_step

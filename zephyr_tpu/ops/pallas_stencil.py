@@ -32,6 +32,28 @@ from jax.experimental.pallas import tpu as pltpu
 from .stencil import OFFSETS
 
 
+def _pick_tx(nx):
+    '''
+    Largest lane-aligned tile width dividing nx. Keeps the fused kernels
+    applicable on the intermediate grid sizes produced by per-frequency
+    grid adaptation (e.g. 1280, 1792 — multiples of 256 but not 512).
+    '''
+
+    for tx in (512, 256, 128):
+        if nx % tx == 0:
+            return tx
+    return min(512, nx)
+
+
+def _pick_tz(nz, cap):
+    'Largest sublane-aligned tile height (<= cap) dividing nz.'
+
+    t = cap
+    while t > 8 and nz % t:
+        t //= 2
+    return t if nz % t == 0 else min(cap, nz)
+
+
 def _apply_kernel(pr_ref, pi_ref, ur_hbm, ui_hbm, or_ref, oi_ref,
                   ur_tile, ui_tile, sem, *, TZ, TX):
     '''
@@ -80,8 +102,8 @@ def apply_stencil_pallas(planes, u, interpret=False):
     nz, nx = u.shape[-2:]
     # tile sizes chosen to fit the 16 MB scoped-VMEM limit:
     # 9 plane tiles (re+im) + halo scratch + outputs ~= 8 MB
-    TZ = min(128, nz)
-    TX = min(512, nx)
+    TZ = _pick_tz(nz, 128)
+    TX = _pick_tx(nx)
     assert nz % TZ == 0 and nx % TX == 0
 
     pr = jnp.real(planes).astype(jnp.float32)
@@ -132,8 +154,8 @@ def pallas_applicable(planes, u):
     if planes.ndim != 3 or u.ndim != 2:
         return False
     nz, nx = u.shape
-    TZ = min(128, nz)
-    TX = min(512, nx)
+    TZ = _pick_tz(nz, 128)
+    TX = _pick_tx(nx)
     return (nz % TZ == 0 and nx % TX == 0 and nz >= 8 and nx >= 128
             and planes.dtype == jnp.complex64)
 
@@ -294,8 +316,8 @@ def apply_stencil_pallas_batched(planes, u, interpret=False):
     """
 
     nz, nx = u.shape[-2:]
-    TZ = min(128, nz)
-    TX = min(512, nx)
+    TZ = _pick_tz(nz, 128)
+    TX = _pick_tx(nx)
     kernel = partial(_apply_kernel_batched, TZ=TZ, TX=TX)
     return _batched_call(kernel, (), (), planes, u, TZ, TX, interpret)
 
@@ -334,8 +356,8 @@ def jacobi_sweep_pallas_batched(planes, dinv_eff, b, u, interpret=False):
     # smaller z-tile than the plain apply: the extra dinv/b blocks (each
     # pipeline-double-buffered by Mosaic) blow the 16 MB scoped-VMEM
     # limit at (128, 512)
-    TZ = min(64, nz)
-    TX = min(512, nx)
+    TZ = _pick_tz(nz, 64)
+    TX = _pick_tx(nx)
 
     dr = jnp.real(dinv_eff).astype(jnp.float32)
     di = jnp.imag(dinv_eff).astype(jnp.float32)
@@ -510,8 +532,8 @@ def jacobi_sweep2_pallas_batched(planes, dinv_eff, b, u, interpret=False):
     '''
 
     nz, nx = b.shape[-2:]
-    TZ = min(64, nz)
-    TX = min(512, nx)
+    TZ = _pick_tz(nz, 64)
+    TX = _pick_tx(nx)
 
     pr = jnp.pad(jnp.real(planes).astype(jnp.float32),
                  ((0, 0), (2, 6), (2, 126)))
@@ -570,8 +592,8 @@ def _batched_tiles_ok(planes, u, tz):
     if planes.ndim != 3 or u.ndim != 3:
         return False
     nz, nx = u.shape[-2:]
-    TZ = min(tz, nz)
-    TX = min(512, nx)
+    TZ = _pick_tz(nz, tz)
+    TX = _pick_tx(nx)
     return (nz % TZ == 0 and nx % TX == 0 and nz >= 8 and nx >= 128
             and planes.dtype == jnp.complex64 and u.dtype == jnp.complex64)
 
@@ -728,8 +750,8 @@ def presmooth2_residual_pallas_batched(planes, dinv_eff, mask, b,
     '''
 
     nz, nx = b.shape[-2:]
-    TZ = min(64, nz)
-    TX = min(512, nx)
+    TZ = _pick_tz(nz, 64)
+    TX = _pick_tx(nx)
 
     pr = jnp.pad(jnp.real(planes).astype(jnp.float32),
                  ((0, 0), (2, 6), (2, 126)))

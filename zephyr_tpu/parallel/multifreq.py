@@ -255,9 +255,74 @@ def fwi_misfit(c, dobs, *args, **kwargs):
     return 0.5 * jnp.sum(jnp.abs(r) ** 2)
 
 
+def freq_grid_plan(nz, nx, freqs, cmin, dx=1.0, target_gpw=None,
+                   max_scale=10.0, quantum=None, min_size=128):
+    '''
+    Per-frequency grid shapes by the reference's targetGPW rule
+    (MultiGridHelper.scales, reference distributors.py:515-573):
+    scale = median(cmin / (freq * dx * targetGPW), max_scale, 1). Shapes
+    snap to tile-friendly multiples (default: n/8 rounded to a power of
+    two, >= 32) so the Pallas kernels stay applicable and shape buckets
+    stay few. With target_gpw=None every frequency keeps the fine grid.
+
+    This is the convergence- and cost-critical companion of the chunked
+    FWI driver: the true operator's PML decay profile is
+    frequency-INDEPENDENT (Roecker style, ops/minizephyr_coeff.py:99-133),
+    so on a fixed grid the relative stretch sigma/omega — and with it the
+    preconditioned iteration count — blows up at low frequency (measured
+    512^2 layered: 61 iters at 93.8 Hz but 1162 at 37.5 Hz). Constant
+    gridpoints-per-wavelength keeps both kh and sigma/omega fixed
+    (55-61 iters across that whole band).
+    '''
+
+    if target_gpw is None:
+        return [(nz, nx)] * len(np.asarray(freqs))
+
+    def _q(n):
+        if quantum:
+            return quantum
+        return max(32, 1 << int(np.log2(max(n // 8, 32))))
+
+    qz, qx = _q(nz), _q(nx)
+    plans = []
+    for f in np.asarray(freqs, dtype=np.float64):
+        s = float(np.median(((cmin / (float(np.real(f)) * dx * target_gpw)),
+                             max_scale, 1.0)))
+        nzf = int(np.clip(np.round(nz / s / qz) * qz, min(min_size, nz),
+                          nz))
+        nxf = int(np.clip(np.round(nx / s / qx) * qx, min(min_size, nx),
+                          nx))
+        plans.append((nzf, nxf))
+    return plans
+
+
+def _kaiser_stamps(shape, dxf, dzf, pos, ireg, receiver=False):
+    '''
+    Padded Kaiser stamp arrays (cols (n, K) int32, vals (n, K) complex)
+    for positions on a scaled grid. Source stamps keep the reference's
+    1/(dx dz) point-source normalization (backend/source.py srcScale) so
+    fields are grid-independent; receiver stamps are pure interpolation
+    (the scale stripped), so data values are grid-independent too.
+    '''
+
+    from ..backend.source import SparseKaiserSource
+    from ..ops.kaiser import pad_stamps
+
+    src = SparseKaiserSource({'nx': shape[1], 'nz': shape[0],
+                              'dx': dxf, 'dz': dzf, 'ireg': ireg})
+    rows, cols, vals = src.stamps(np.asarray(pos, dtype=np.float64))
+    if receiver:
+        vals = vals * (dxf * dzf)
+    return pad_stamps(rows, cols, vals, np.asarray(pos).shape[0])
+
+
 def fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
                             config=SolverConfig(), premul=None, Q=np.inf,
-                            freqBase=0.0, chunk=16, **plane_kwargs):
+                            freqBase=0.0, chunk=16, target_gpw=None,
+                            src_pos=None, rec_pos=None, cmin=None,
+                            dx=1.0, dz=1.0, ireg=4, max_scale=10.0,
+                            grid_quantum=None, grid_min=128,
+                            **plane_kwargs):
     '''
     Production-scale FWI misfit + gradient: host-driven per-frequency
     loop with chunked restarted solves (short device programs — the
@@ -274,82 +339,181 @@ def fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
     -omega^2/c^3 scaling). Matches jax.grad of ``fwi_misfit`` to solver
     tolerance; validated in tests/test_fast_core.py.
 
+    With ``target_gpw`` set (requires ``src_pos``/``rec_pos`` physical
+    (x, z) positions and ``cmin``), every frequency solves on its own
+    coarser grid chosen by the reference's targetGPW rule (the
+    MultiGridMultiFreq semantics, reference distributors.py:384-435) —
+    see ``freq_grid_plan`` for why this is essential at low frequencies.
+    The velocity resamples differentiably inside the plane builder, so
+    the returned gradient is the exact gradient of the multi-scale
+    misfit w.r.t. the FINE-grid model; sources/receivers are rebuilt
+    per scale from positions via Kaiser stamps (``q``/``R`` are ignored
+    on this path and may be None).
+
     Returns (misfit, grad) as numpy (float, (nz, nx) float array).
     '''
 
+    from ..backend.interpolation import resample_field
     from ..core.realio import realio_jit, device_put_c
     from ..ops.stencil import transpose_block_planes, apply_block_stencil
     from ..solver.helmholtz import make_chunked_solver
 
-    nfreq, nsrc, nz, nx = q.shape
     c = np.asarray(c)
+    adapted = target_gpw is not None
+    if adapted:
+        assert src_pos is not None and rec_pos is not None, \
+            'target_gpw needs src_pos/rec_pos (physical (x, z) positions)'
+        nz, nx = c.shape
+        nfreq = len(np.asarray(freqs))
+        nsrc = np.asarray(src_pos).shape[0]
+        qdtype = ((np.complex128 if jax.config.jax_enable_x64
+                   else np.complex64) if q is None
+                  else np.asarray(q).dtype)
+        if cmin is None:
+            cmin = float(np.real(c).min())
+    else:
+        nfreq, nsrc, nz, nx = q.shape
+        qdtype = np.asarray(q).dtype
     assert np.isrealobj(c) or np.allclose(np.imag(c), 0), \
         'fwi gradient is w.r.t. a real velocity model'
-    cdtype = jnp.complex128 if np.asarray(q).dtype == np.complex128 \
-        else jnp.complex64
+    cdtype = jnp.complex128 if qdtype == np.complex128 else jnp.complex64
     rdtype = np.float64 if cdtype == jnp.complex128 else np.float32
     rho_r = np.asarray(np.real(rho)).astype(rdtype)
     c_r = np.real(c).astype(rdtype)
 
-    def _planes_of(c_real, freq):
-        ci = viscous_velocity(c_real.astype(cdtype), freq, Q, freqBase)
-        return minizephyr_planes(ci, rho_r, freq, **plane_kwargs)[None,
-                                                                  None]
+    plans = freq_grid_plan(nz, nx, freqs, cmin, dx=dx,
+                           target_gpw=target_gpw, max_scale=max_scale,
+                           quantum=grid_quantum, min_size=grid_min)
 
-    def prep(freq, c_real):
-        planes = _planes_of(c_real, freq)
-        pshift = minizephyr_planes(
-            shifted_velocity(c_real.astype(cdtype), config.shift), rho_r,
-            freq, pml_cap=config.pml_cap, **plane_kwargs)[None, None]
-        op_f = prepare_operator(planes, pshift, config,
-                                with_transpose=False)
-        op_t = prepare_operator(transpose_block_planes(planes),
-                                transpose_block_planes(pshift), config,
-                                with_transpose=False)
-        return op_f, op_t
+    def _spacing(shape):
+        return dx * nx / shape[1], dz * nz / shape[0]
 
-    def residual(x, R_j, dobs_f):
-        # d = R conj(x); r = d - dobs; t = R^H r (adjoint receiver fields)
-        u = jnp.conj(x[:, 0].reshape((x.shape[0], nz * nx)))
-        d = jnp.einsum('rn,sn->sr', R_j, u,
-                       precision=lax.Precision.HIGHEST)
-        r = d - dobs_f
-        t = jnp.einsum('rn,sr->sn', jnp.conj(R_j), r,
-                       precision=lax.Precision.HIGHEST)
-        mis = 0.5 * jnp.sum(jnp.abs(r) ** 2)
-        return t.reshape((x.shape[0], 1, nz, nx)), mis
+    def _planes_of(c_real, freq, shape, rho_j, pml_cap=None,
+                   viscous=True):
+        ci = c_real.astype(cdtype)
+        if viscous:
+            ci = viscous_velocity(ci, freq, Q, freqBase)
+        if shape != (nz, nx):
+            ci = resample_field(ci, shape)
+        dxf, dzf = _spacing(shape)
+        pk = dict(plane_kwargs)
+        if adapted:
+            pk.update(dx=dxf, dz=dzf)
+        if pml_cap is not None:
+            pk['pml_cap'] = pml_cap
+        return minizephyr_planes(ci, rho_j, freq, **pk)[None, None]
 
-    def grad_term(c_real, freq, w, x):
-        # -d/dc Re< w , A(c) x >, with w, x held fixed
-        def f(cr):
-            Ax = jax.vmap(lambda xi: apply_block_stencil(
-                _planes_of(cr, freq)[0, 0][None, None], xi))(x)
-            return -jnp.sum(jnp.real(w * Ax))
-        return jax.grad(f)(c_real)
+    def _shape_fns(shape):
+        rho_f = (rho_r if shape == (nz, nx) else
+                 np.asarray(resample_field(jnp.asarray(rho_r), shape)))
+        rho_j = jnp.asarray(rho_f)
 
-    prep_rio = realio_jit(prep)
-    resid_rio = realio_jit(residual)
-    grad_rio = realio_jit(grad_term)
+        def prep_ops(freq, c_real):
+            planes = _planes_of(c_real, freq, shape, rho_j)
+            csh = shifted_velocity(c_real.astype(cdtype), config.shift)
+            pshift = _planes_of(csh, freq, shape, rho_j,
+                                pml_cap=config.pml_cap, viscous=False)
+            op_f = prepare_operator(planes, pshift, config,
+                                    with_transpose=False)
+            op_t = prepare_operator(transpose_block_planes(planes),
+                                    transpose_block_planes(pshift),
+                                    config, with_transpose=False)
+            return op_f, op_t
+
+        def residual_dense(x, R_j, dobs_f):
+            # d = R conj(x); r = d - dobs; t = R^H r (adjoint receiver
+            # fields)
+            u = jnp.conj(x[:, 0].reshape((x.shape[0], -1)))
+            d = jnp.einsum('rn,sn->sr', R_j, u,
+                           precision=lax.Precision.HIGHEST)
+            r = d - dobs_f
+            t = jnp.einsum('rn,sr->sn', jnp.conj(R_j), r,
+                           precision=lax.Precision.HIGHEST)
+            mis = 0.5 * jnp.sum(jnp.abs(r) ** 2)
+            return t.reshape((x.shape[0], 1) + shape), mis
+
+        def residual_stamps(x, rcols, rvals, dobs_f):
+            # same algebra with gather/scatter Kaiser stamps: no dense
+            # (nrec, n^2) matrix at production grid sizes
+            S = x.shape[0]
+            u = jnp.conj(x[:, 0].reshape((S, -1)))
+            picks = u[:, rcols]                       # (S, nrec, K)
+            d = jnp.sum(picks * rvals[None], axis=-1)  # (S, nrec)
+            r = d - dobs_f
+            contrib = jnp.conj(rvals)[None] * r[:, :, None]
+            t = jnp.zeros_like(u)
+            t = t.at[:, rcols.reshape(-1)].add(
+                contrib.reshape(S, -1))
+            mis = 0.5 * jnp.sum(jnp.abs(r) ** 2)
+            return t.reshape((S, 1) + shape), mis
+
+        def grad_term(c_real, freq, w, x):
+            # -d/dc Re< w , A(c) x >, with w, x held fixed; when the
+            # solve grid is coarser the chain rule flows back through
+            # the differentiable resample to the FINE model
+            def f(cr):
+                pl9 = _planes_of(cr, freq, shape, rho_j)
+                Ax = jax.vmap(lambda xi: apply_block_stencil(
+                    pl9[0, 0][None, None], xi))(x)
+                return -jnp.sum(jnp.real(w * Ax))
+            return jax.grad(f)(c_real)
+
+        return dict(prep=realio_jit(prep_ops),
+                    residual=realio_jit(residual_dense),
+                    residual_st=realio_jit(residual_stamps),
+                    grad=realio_jit(grad_term))
+
+    fns = {}
+    for shape in plans:
+        if shape not in fns:
+            fns[shape] = _shape_fns(shape)
+
+    stamp_cache = {}
+
+    def _stamps_for(shape):
+        if shape not in stamp_cache:
+            dxf, dzf = _spacing(shape)
+            scols, svals = _kaiser_stamps(shape, dxf, dzf, src_pos, ireg)
+            rcols, rvals = _kaiser_stamps(shape, dxf, dzf, rec_pos, ireg,
+                                          receiver=True)
+            qf = np.zeros((nsrc, shape[0] * shape[1]), qdtype)
+            np.add.at(qf, (np.arange(nsrc)[:, None], scols),
+                      svals.astype(qdtype))
+            stamp_cache[shape] = (
+                qf.reshape((nsrc, 1) + shape),
+                jnp.asarray(rcols),
+                device_put_c(np.ascontiguousarray(rvals)))
+        return stamp_cache[shape]
+
     solver = make_chunked_solver(config, chunk=max(chunk, 16))
 
-    R_c = device_put_c(np.asarray(R))
+    R_c = None if adapted else device_put_c(np.asarray(R))
     misfit = 0.0
     grad = np.zeros((nz, nx), rdtype)
     pm = None if premul is None else np.asarray(premul).ravel()
     for i, f in enumerate(np.asarray(freqs)):
-        op_f, op_t = prep_rio(jnp.asarray(float(f)), jnp.asarray(c_r))
+        shape = plans[i]
+        sf = fns[shape]
+        op_f, op_t = sf['prep'](jnp.asarray(float(f)), jnp.asarray(c_r))
+        if adapted:
+            q_i, rcols, rvals = _stamps_for(shape)
+        else:
+            q_i = np.asarray(q[i])[:, None]
         for s0 in range(0, nsrc, chunk):
             s1 = min(s0 + chunk, nsrc)
-            b = np.asarray(q[i, s0:s1])[:, None]
+            b = q_i[s0:s1]
             if pm is not None:
                 b = b * pm[i].astype(b.dtype)
             x, _, _ = solver(op_f, b)
             dobs_c = device_put_c(np.ascontiguousarray(
                 np.asarray(dobs)[i, s0:s1]))
-            t, mis = resid_rio(x, R_c, dobs_c)
+            if adapted:
+                t, mis = sf['residual_st'](x, rcols, rvals, dobs_c)
+            else:
+                t, mis = sf['residual'](x, R_c, dobs_c)
             misfit += float(np.asarray(mis))
             w, _, _ = solver(op_t, t)
-            g = grad_rio(jnp.asarray(c_r), jnp.asarray(float(f)), w, x)
+            g = sf['grad'](jnp.asarray(c_r), jnp.asarray(float(f)), w, x)
             grad += np.asarray(g)
     return misfit, grad
 
