@@ -56,6 +56,7 @@ def test_operator_order_is_second():
     assert order > 1.6, 'observed order %.2f (errors: %s)' % (order, errs)
 
 
+@pytest.mark.slow
 def test_chunked_solver_refines_f32():
     'Restarted chunks must push f32 solves past the recursion drift.'
     from zephyr_tpu.ops.minizephyr_coeff import minizephyr_planes

@@ -130,6 +130,7 @@ def test_middleware_dot_test_small():
     assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-5
 
 
+@pytest.mark.slow
 def test_chunked_matches_differentiable_small():
     from zephyr_tpu.parallel.multifreq import (multifreq_dpred,
                                                multifreq_dpred_chunked)
@@ -185,6 +186,7 @@ def test_stratified_precond_layered_small():
         / np.linalg.norm(x_t) < 1e-5
 
 
+@pytest.mark.slow
 def test_chunked_fwi_gradient_matches_autodiff_small():
     'Explicit adjoint-state chunked gradient == monolithic jax.grad.'
     from zephyr_tpu.parallel.multifreq import (multifreq_dpred,
@@ -220,6 +222,7 @@ def test_chunked_fwi_gradient_matches_autodiff_small():
     assert np.linalg.norm(g1 - g0) / np.linalg.norm(g0) < 1e-6
 
 
+@pytest.mark.slow
 def test_chunked_fwi_gradient_stamps_matches_dense():
     '''
     The positions/stamps path at target_gpw large (no actual coarsening:
@@ -311,6 +314,7 @@ def test_chunked_fwi_gradient_grid_adapted_fd():
     assert abs(fd - an) / abs(an) < 2e-4, (fd, an)
 
 
+@pytest.mark.slow
 def test_sharded_grad_matches_single_small():
     'Mesh-sharded FWI gradient == single-device gradient (tiny shapes).'
     from zephyr_tpu.parallel import make_mesh, make_sharded_fwi_step

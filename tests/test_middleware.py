@@ -52,6 +52,7 @@ def _paired(cls=Helm2DProblem, **kw):
     return problem, survey
 
 
+@pytest.mark.slow
 def test_dpred_shape_and_finite():
     problem, survey = _paired()
     d = survey.dpred()
@@ -61,6 +62,7 @@ def test_dpred_shape_and_finite():
     assert np.abs(d).max() > 0
 
 
+@pytest.mark.slow
 def test_fields_container():
     problem, survey = _paired()
     u = problem.fields()
@@ -148,6 +150,7 @@ def test_visco_dispersion_changes_data():
     assert not np.allclose(d_novisc, d_visc)
 
 
+@pytest.mark.slow
 def test_relative_mode_geometry():
     sc = _config()
     sc['geom'] = {
@@ -172,6 +175,7 @@ def test_nodal_identity_map():
     assert np.allclose(out, 1.0)
 
 
+@pytest.mark.slow
 def test_datamisfit_zero_at_truth():
     problem, survey = _paired()
     dobs = survey.dpred()
@@ -230,6 +234,7 @@ def test_eurus_problem_dot_test():
     assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-5
 
 
+@pytest.mark.slow
 def test_nested_distributor_chain():
     '''
     remDists chaining (reference distributors.py:38-53): the outer

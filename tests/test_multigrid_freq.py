@@ -79,6 +79,7 @@ def test_multigrid_dpred_approximates_uniform():
         assert rel < 0.35, 'freq %d deviates %.3f' % (f, rel)
 
 
+@pytest.mark.slow
 def test_multigrid_fields_upscaled():
     'fields() must return wavefields on the NATIVE grid (upscaled).'
     sc = _config()

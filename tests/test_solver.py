@@ -154,6 +154,7 @@ def test_hybrid_layered_medium_matches_lu():
     assert np.linalg.norm(x - x_lu) / np.linalg.norm(x_lu) < 1e-5
 
 
+@pytest.mark.slow
 def test_mg_only_precond_matches_lu():
     'The plain-MG preconditioner option remains available and correct.'
     cfg = SolverConfig(tol=1e-8, maxiter=600, precond='mg')

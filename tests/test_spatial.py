@@ -74,6 +74,7 @@ def _reference_solve(planes, pplanes, cfg, qj):
     return solve_info(op, qj, cfg)
 
 
+@pytest.mark.slow
 def test_dd_solve_matches_global():
     mesh = _mesh(4)
     planes, pplanes, cfg = _planes()
@@ -117,6 +118,7 @@ def test_dd_solve_2d_tiles_batched_rhs():
         assert rel < 1e-5
 
 
+@pytest.mark.slow
 def test_dd_dpred_matches_multifreq_dpred():
     'The DD production forward == the single-device differentiable path.'
     from zephyr_tpu.parallel.multifreq import multifreq_dpred
