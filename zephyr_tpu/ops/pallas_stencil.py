@@ -124,8 +124,8 @@ def apply_stencil_pallas(planes, u, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, TZ, TX), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((TZ, TX), lambda i, j: (i, j),
@@ -277,8 +277,8 @@ def _batched_call(kernel, extra_inputs, extra_specs, planes, u, TZ, TX,
             pl.BlockSpec((9, TZ, TX), lambda i, j, r: (0, i, j),
                          memory_space=pltpu.VMEM),
         ] + list(extra_specs) + [
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
@@ -559,7 +559,7 @@ def jacobi_sweep2_pallas_batched(planes, dinv_eff, b, u, interpret=False):
     out_r, out_i = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 8,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 8,
         out_specs=[
             pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
                          memory_space=pltpu.VMEM),
@@ -770,7 +770,7 @@ def presmooth2_residual_pallas_batched(planes, dinv_eff, mask, b,
     u2r, u2i, rr_, ri_ = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
         out_specs=[
             pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
                          memory_space=pltpu.VMEM)] * 4,

@@ -64,15 +64,6 @@ class SolverConfig(NamedTuple):
                               # 'bicgstab', or 'gmres'
     gmres_restart: int = 40
     precond: str = 'hybrid'   # 'hybrid' (spectral + MG) or 'mg'
-    deflate: bool = False     # two-level deflation (ADEF1-style): project
-                              # out the coarse-grid error with an
-                              # approximate TRUE-operator coarse solve;
-                              # cuts heterogeneous-media iteration counts
-                              # (layered media where the mean interior
-                              # symbol is a poor inverse)
-    defl_sweeps: int = 8      # coarse Richardson sweeps (LINEAR coarse
-                              # solve: a fixed polynomial in M_c A_c, so
-                              # the outer Krylov stays valid)
     fft_shift: Any = 'auto'   # CSLP shift of the spectral solve (complex,
                               # or 'auto': 0.03j near-homogeneous / 0.25j
                               # heterogeneous, from the mass-plane contrast)
@@ -143,9 +134,6 @@ class HelmholtzOperator(NamedTuple):
     hierT: Any        # MGHierarchy of the transposed shifted operator
     fft_sinv: Any = None   # (B, B, nz, nx) inverse interior symbol
     planesT: Any = None    # transposed true planes (hybrid transpose path)
-    coarse: Any = None     # nested HelmholtzOperator of the Galerkin-
-                           # coarsened TRUE operator (two-level deflation)
-    coarseT: Any = None    # its transpose (for the transpose solve)
     strat: Any = None      # (l, d, u) stratified interior tridiagonals
                            # (fft_mode='strat'; replaces fft_sinv)
     cplanes: Any = None    # Galerkin-coarsened TRUE planes (the level-1
@@ -264,15 +252,15 @@ def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
     hierT = transpose_hierarchy(hier) if with_transpose else None
     sinv = None
     planesT = None
-    need_coarse = config.deflate or (config.precond == 'hybrid'
-                                     and (config.fft_scale > 1
-                                          or config.hybrid_comp == 'fused'))
+    need_coarse = (config.precond == 'hybrid'
+                   and (config.fft_scale > 1
+                        or config.hybrid_comp == 'fused'))
     ctrue = cpp = None
     if need_coarse:
         # Galerkin-coarsened TRUE operator (preconditioner-internal:
-        # stop_gradient throughout), used by two-level deflation and by
-        # the reduced-resolution spectral solve. Interior masking matches
-        # build_hierarchy: Dirichlet ring rows are excluded.
+        # stop_gradient throughout), used by the reduced-resolution
+        # spectral solve. Interior masking matches build_hierarchy:
+        # Dirichlet ring rows are excluded.
         from .multigrid import (_mask_ring_planes, _ring_mask,
                                 _fix_empty_rows, galerkin_coarsen)
         tp = lax.stop_gradient(planes)
@@ -312,20 +300,12 @@ def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
             strat = pcr_precompute_block(L, D, U)
         else:
             sinv = _fft_symbol_inverse(src_true, src_pp, config)
-    if with_transpose and (config.precond == 'hybrid' or config.deflate):
+    if with_transpose and config.precond == 'hybrid':
         planesT = transpose_block_planes(lax.stop_gradient(planes))
 
-    coarse = coarseT = None
-    if config.deflate:
-        ccfg = config._replace(deflate=False)
-        coarse = prepare_operator(ctrue, cpp, ccfg, with_transpose=False)
-        if with_transpose:
-            coarseT = prepare_operator(transpose_block_planes(ctrue),
-                                       transpose_block_planes(cpp), ccfg,
-                                       with_transpose=False)
     cplanes = ctrue if config.hybrid_comp == 'fused' else None
     return HelmholtzOperator(planes, hier, hierT, sinv, planesT,
-                             coarse, coarseT, strat, cplanes)
+                             strat, cplanes)
 
 
 def _effective_krylov(config, block_size):
@@ -471,44 +451,7 @@ def _make_precond(op, config, transpose=False):
                     r2 = r - apply_block_stencil_fast(planes, x1)
                     return x1 + mg(r2)
 
-    cop = op.coarseT if transpose else op.coarse
-    if cop is None or not config.deflate:
-        return M0
-
-    # ADEF1-style two-level deflation: M r = M0 (r - A Q r) + Q r with
-    # Q = P_2h Ac^{-approx} R_2h on the Galerkin-coarsened TRUE operator.
-    # The approximate coarse solve is a FIXED number of preconditioned
-    # Richardson sweeps (a polynomial in Mc Ac), so Q — and hence M — is
-    # a fixed LINEAR operator and short-recurrence Krylov stays valid.
-    from .multigrid import restrict, prolong
-    ccfg = config._replace(deflate=False)
-    Mc = _make_precond(cop, ccfg)
-    planes_c = lax.stop_gradient(cop.planes)
-    planes_f = lax.stop_gradient(op.planesT if transpose else op.planes)
-    mask = hier.levels[0].mask
-    nz, nx = planes_f.shape[-2:]
-    nsweeps = config.defl_sweeps
-
-    def Ac(x):
-        return apply_block_stencil_fast(planes_c, x)
-
-    def Afine(x):
-        return apply_block_stencil_fast(planes_f, x)
-
-    def Qop(r):
-        rc = restrict(mask * r)
-        xc = Mc(rc)
-
-        def body(_, xc):
-            return xc + Mc(rc - Ac(xc))
-        xc = lax.fori_loop(0, nsweeps - 1, body, xc)
-        return mask * prolong(xc, nz, nx)
-
-    def M_adef(r):
-        qr = Qop(r)
-        return M0(r - Afine(qr)) + qr
-
-    return M_adef
+    return M0
 
 
 def solve(op, b, config=SolverConfig()):
