@@ -177,7 +177,9 @@ def measure_eurus(n, nsrc):
 
     cval = 1500.0
     freq = cval / BENCH_WAVELEN_CELLS
-    cfg = _solver_cfg()._replace(gmres_restart=20)
+    # block systems smooth with alternating z/x lines: one (z, x)
+    # alternation per smoothing stage is the measured sweet spot
+    cfg = _solver_cfg()._replace(gmres_restart=20, mg_nu1=1, mg_nu2=1)
     chunk = int(os.environ.get('ZT_BENCH_CHUNK', 16))
 
     def prep_fn(c_real):

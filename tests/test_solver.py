@@ -177,8 +177,10 @@ def test_solve_config_precond_overrides_operator():
     '''
     from zephyr_tpu.solver.helmholtz import solve_info
     cfg_h = SolverConfig(tol=1e-8, maxiter=600, precond='hybrid')
-    op = _operator(cfg=cfg_h)          # has fft_sinv
-    assert op.fft_sinv is not None
+    op = _operator(cfg=cfg_h)          # has a spectral interior solve
+    # (stratified PCR state under the default fft_mode='strat'; the dense
+    # 2D symbol inverse under fft_mode='2d')
+    assert op.strat is not None or op.fft_sinv is not None
     q = np.zeros((1, NZ, NX), dtype=np.complex128)
     q[0, 25, 25] = 1.0
     cfg_mg = cfg_h._replace(precond='mg')

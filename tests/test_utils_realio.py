@@ -198,3 +198,21 @@ def test_fullwv_model_convention(tmp_path):
         assert np.allclose(back, model + 100, rtol=1e-6)
     finally:
         os.chdir(cwd)
+
+
+def test_pallas_block_apply_interpret_matches_reference():
+    from zephyr_tpu.ops.pallas_stencil import (
+        apply_block_stencil_pallas_batched, pallas_block_applicable)
+    from zephyr_tpu.ops.stencil import apply_block_stencil
+
+    R, nz, nx = 3, 16, 128
+    planes = jnp.asarray(
+        (RNG.standard_normal((2, 2, 9, nz, nx))
+         + 1j * RNG.standard_normal((2, 2, 9, nz, nx))).astype(np.complex64))
+    u = jnp.asarray((RNG.standard_normal((R, 2, nz, nx))
+                     + 1j * RNG.standard_normal((R, 2, nz, nx))
+                     ).astype(np.complex64))
+    assert pallas_block_applicable(planes, u)
+    ref = jax.vmap(lambda x: apply_block_stencil(planes, x))(u)
+    out = apply_block_stencil_pallas_batched(planes, u, interpret=True)
+    assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 1e-5

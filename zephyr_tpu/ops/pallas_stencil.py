@@ -792,3 +792,158 @@ def pallas_ps2r_applicable(planes, b):
     'Whether the fused presmooth+residual kernel supports these shapes.'
 
     return _batched_tiles_ok(planes, b, 64)
+
+
+# ---------------------------------------------------------------------------
+# Fused BLOCK (B = 2) apply: the Eurus TTI 2x2 system in ONE pass. The
+# generic path applies four scalar kernels (one per block pair) plus adds,
+# which re-streams each field component's halo window twice and round-trips
+# two partial sums through HBM; this kernel reads both components once and
+# writes both outputs once.
+# ---------------------------------------------------------------------------
+
+
+def _double_buffered_halo_fetch_multi(hbm_refs, tile_refs, sem, TZ, TX):
+    '''
+    ``_double_buffered_halo_fetch`` generalized to N (hbm, tile) pairs on
+    grid (nz/TZ, nx/TX, R); sem has shape (2, N). Returns the current
+    step's tile refs.
+    '''
+
+    iz = pl.program_id(0)
+    jx = pl.program_id(1)
+    r = pl.program_id(2)
+    nJ = pl.num_programs(1)
+    nR = pl.num_programs(2)
+    total = pl.num_programs(0) * nJ * nR
+
+    step = (iz * nJ + jx) * nR + r
+    slot = lax.rem(step, jnp.int32(2))
+    nslot = 1 - slot
+
+    def _start(rr, zz, xx, s):
+        for q, (hbm, tile) in enumerate(zip(hbm_refs, tile_refs)):
+            pltpu.make_async_copy(
+                hbm.at[rr, pl.ds(zz * TZ, TZ + 8),
+                       pl.ds(xx * TX, TX + 128)],
+                tile.at[s], sem.at[s, q]).start()
+
+    @pl.when(step == 0)
+    def _():
+        _start(r, iz, jx, 0)
+
+    nstep = step + 1
+
+    @pl.when(nstep < total)
+    def _():
+        nr = lax.rem(nstep, jnp.int32(nR))
+        t1 = nstep // nR
+        njx = lax.rem(t1, jnp.int32(nJ))
+        niz = t1 // nJ
+        _start(nr, niz, njx, nslot)
+
+    out = []
+    for q, (hbm, tile) in enumerate(zip(hbm_refs, tile_refs)):
+        pltpu.make_async_copy(
+            hbm.at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            tile.at[slot], sem.at[slot, q]).wait()
+        out.append(tile.at[slot])
+    return out
+
+
+def _apply_block_kernel_batched(pr_ref, pi_ref,
+                                u0r_hbm, u0i_hbm, u1r_hbm, u1i_hbm,
+                                o0r_ref, o0i_ref, o1r_ref, o1i_ref,
+                                u0r_t, u0i_t, u1r_t, u1i_t, sem,
+                                *, TZ, TX):
+    '''
+    One (TZ, TX) output tile of the 2x2 block apply on grid
+    (nz/TZ, nx/TX, R). pr/pi carry the (2, 2, 9, TZ, TX) coefficient
+    tiles; the four field-component arrays are padded re/im planes in
+    HBM, halo-fetched with double buffering.
+    '''
+
+    u0r, u0i, u1r, u1i = _double_buffered_halo_fetch_multi(
+        (u0r_hbm, u0i_hbm, u1r_hbm, u1i_hbm),
+        (u0r_t, u0i_t, u1r_t, u1i_t), sem, TZ, TX)
+    comps = ((u0r, u0i), (u1r, u1i))
+    outs = ((o0r_ref, o0i_ref), (o1r_ref, o1i_ref))
+    for i in range(2):
+        acc_r = jnp.zeros((TZ, TX), jnp.float32)
+        acc_i = jnp.zeros((TZ, TX), jnp.float32)
+        for j in range(2):
+            urt, uit = comps[j]
+            for k, (dz, dx) in enumerate(OFFSETS):
+                ur = urt[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
+                ui = uit[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
+                prk = pr_ref[i, j, k]
+                pik = pi_ref[i, j, k]
+                acc_r += prk * ur - pik * ui
+                acc_i += prk * ui + pik * ur
+        outs[i][0][0] = acc_r
+        outs[i][1][0] = acc_i
+
+
+@partial(jax.jit, static_argnames=('interpret',))
+def apply_block_stencil_pallas_batched(planes, u, interpret=False):
+    '''
+    Fused batched 2x2 block-stencil apply: planes (2, 2, 9, nz, nx)
+    complex64, u (R, 2, nz, nx) complex64 -> (R, 2, nz, nx).
+    No AD rules: preconditioner internals and the non-differentiable
+    chunked/info solvers only.
+    '''
+
+    R, B, nz, nx = u.shape
+    assert B == 2
+    TZ = _pick_tz(nz, 32)
+    TX = _pick_tx(nx)
+    assert nz % TZ == 0 and nx % TX == 0
+
+    pr = jnp.real(planes).astype(jnp.float32)
+    pi = jnp.imag(planes).astype(jnp.float32)
+    up = jnp.pad(u, ((0, 0), (0, 0), (1, 7), (1, 127)))
+    comps = []
+    for j in range(2):
+        comps.append(jnp.real(up[:, j]).astype(jnp.float32))
+        comps.append(jnp.imag(up[:, j]).astype(jnp.float32))
+
+    grid = (nz // TZ, nx // TX, R)
+    kernel = partial(_apply_block_kernel_batched, TZ=TZ, TX=TX)
+    o0r, o0i, o1r, o1i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, 2, 9, TZ, TX), lambda i, j, r: (0, 0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 2, 9, TZ, TX), lambda i, j, r: (0, 0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[
+            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
+                         memory_space=pltpu.VMEM)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((R, nz, nx), jnp.float32)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        interpret=interpret,
+    )(pr, pi, *comps)
+    return jnp.stack([lax.complex(o0r, o0i), lax.complex(o1r, o1i)],
+                     axis=1)
+
+
+def pallas_block_applicable(planes, u):
+    'Whether the fused block apply supports these shapes/dtypes.'
+
+    if planes.ndim != 5 or u.ndim != 4:
+        return False
+    if planes.shape[:2] != (2, 2) or u.shape[1] != 2:
+        return False
+    nz, nx = u.shape[-2:]
+    TZ = _pick_tz(nz, 32)
+    TX = _pick_tx(nx)
+    return (nz % TZ == 0 and nx % TX == 0 and nz >= 8 and nx >= 128
+            and planes.dtype == jnp.complex64 and u.dtype == jnp.complex64)

@@ -303,17 +303,73 @@ def jacobi_sweep2_zero_fast(planes, dinv_eff, b):
     return _jacobi2z_scalar_fast(planes, dinv_eff, b)
 
 
+def _apply_block_ref(planes, u):
+    'jnp reference block apply: (B, B, 9, nz, nx) x (..., B, nz, nx).'
+
+    B = planes.shape[0]
+    rows = []
+    for i in range(B):
+        acc = None
+        for j in range(B):
+            term = apply_stencil(planes[i, j], u[..., j, :, :])
+            acc = term if acc is None else acc + term
+        rows.append(acc)
+    return jnp.stack(rows, axis=-3)
+
+
+@jax.custom_batching.custom_vmap
+def _apply_block2_batched_fast(planes, u):
+    'Batched 2x2 block apply (u (R, 2, nz, nx)); fused kernel on TPU.'
+
+    if _pallas_wanted():
+        from .pallas_stencil import (apply_block_stencil_pallas_batched,
+                                     pallas_block_applicable)
+        if pallas_block_applicable(planes, u):
+            return apply_block_stencil_pallas_batched(planes, u)
+    return _apply_block_ref(planes, u)
+
+
+@_apply_block2_batched_fast.def_vmap
+def _apply_block2_batched_fast_vmap(axis_size, in_batched, planes, u):
+    planes_b, u_b = in_batched
+    fn = jax.vmap(_apply_block_ref,
+                  in_axes=(0 if planes_b else None, 0 if u_b else None))
+    return fn(planes, u), True
+
+
+@jax.custom_batching.custom_vmap
+def _apply_block2_fast(planes, u):
+    '2x2 block apply; under vmap dispatches to the fused block kernel.'
+
+    return _apply_block_ref(planes, u)
+
+
+@_apply_block2_fast.def_vmap
+def _apply_block2_fast_vmap(axis_size, in_batched, planes, u):
+    planes_b, u_b = in_batched
+    if u_b and not planes_b:
+        return _apply_block2_batched_fast(planes, u), True
+    fn = jax.vmap(_apply_block_ref,
+                  in_axes=(0 if planes_b else None, 0 if u_b else None))
+    return fn(planes, u), True
+
+
 def apply_block_stencil_fast(planes, u):
     '''
     Same contract as ``apply_block_stencil``, but eligible for the fused
-    Pallas kernel when vmapped on TPU. The Pallas kernel has no AD rules:
-    use ONLY where gradients are not traced through — the multigrid /
-    spectral preconditioner internals and the non-differentiable chunked
-    and info solvers. (``lax.custom_linear_solve`` differentiates its
-    matvec, so the operator apply in ``solve`` must stay on the jnp path.)
+    Pallas kernels when vmapped on TPU — the scalar kernel for B=1 and
+    the fused 2x2 block kernel for B=2 (one pass over both field
+    components instead of four scalar kernels plus adds). The Pallas
+    kernels have no AD rules: use ONLY where gradients are not traced
+    through — the multigrid / spectral preconditioner internals and the
+    non-differentiable chunked and info solvers.
+    (``lax.custom_linear_solve`` differentiates its matvec, so the
+    operator apply in ``solve`` must stay on the jnp path.)
     '''
 
     B = planes.shape[0]
+    if B == 2:
+        return _apply_block2_fast(planes, u)
     rows = []
     for i in range(B):
         acc = None

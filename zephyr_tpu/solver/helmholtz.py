@@ -64,6 +64,18 @@ class SolverConfig(NamedTuple):
                               # 'bicgstab', or 'gmres'
     gmres_restart: int = 40
     precond: str = 'hybrid'   # 'hybrid' (spectral + MG) or 'mg'
+    mg_smoother: str = 'auto'  # 'auto' (alternating z/x line smoothing
+                              # for block/TTI systems, fused damped
+                              # Jacobi for scalar operators), 'jacobi',
+                              # or 'line' (block systems only; scalar
+                              # operators always smooth with Jacobi).
+                              # Block-Jacobi cannot damp the PML-stretch-
+                              # coupled error modes of the Eurus 2x2
+                              # system under velocity contrast: layered
+                              # TTI stalls at 1e-2 with Jacobi and
+                              # converges with line smoothing, which
+                              # also cuts homogeneous TTI from 80 to 60
+                              # iterations (128^2, tol 1e-5).
     fft_shift: Any = 'auto'   # CSLP shift of the spectral solve (complex,
                               # or 'auto': 0.03j near-homogeneous / 0.25j
                               # heterogeneous, from the mass-plane contrast)
@@ -247,8 +259,10 @@ def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
     if precond_planes is None:
         precond_planes = planes
     pp = lax.stop_gradient(precond_planes)
+    smoother = ('line' if planes.shape[0] > 1
+                and config.mg_smoother in ('auto', 'line') else 'jacobi')
     hier = build_hierarchy(pp, min_size=config.mg_min_size,
-                           coarse=config.mg_coarse)
+                           coarse=config.mg_coarse, smoother=smoother)
     hierT = transpose_hierarchy(hier) if with_transpose else None
     sinv = None
     planesT = None

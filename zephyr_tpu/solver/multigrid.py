@@ -247,6 +247,9 @@ class MGLevel(NamedTuple):
     planes: Any   # (B, B, 9, nz, nx)
     dinv: Any     # (B, B, nz, nx)
     mask: Any     # (nz, nx) interior mask: 0 on the boundary ring
+    linez: Any = None  # precomputed block PCR of the z-line bands
+    linex: Any = None  # precomputed block PCR of the x-line bands
+                       # (axes swapped); present iff smoother='line'
 
 
 class MGHierarchy(NamedTuple):
@@ -310,7 +313,24 @@ def _fix_empty_rows(planes):
     return out
 
 
-def build_hierarchy(planes, min_size=16, max_levels=16, coarse='lu'):
+def _line_pcr_states(planes):
+    '''
+    Precomputed block cyclic-reduction states of the z-line and x-line
+    band splittings of a block operator — the alternating-line smoother's
+    tridiagonal factors. The z bands are the (dz in {-1,0,1}, dx=0)
+    planes with their TRUE per-point coefficients (not row means); the
+    x-line family is the same construction with the grid axes swapped.
+    '''
+
+    from .stratified import pcr_precompute_block
+    # plane index k = (dz + 1) * 3 + (dx + 1)
+    zb = (planes[:, :, 1], planes[:, :, 4], planes[:, :, 7])
+    xb = tuple(jnp.swapaxes(planes[:, :, k], -1, -2) for k in (3, 4, 5))
+    return pcr_precompute_block(*zb), pcr_precompute_block(*xb)
+
+
+def build_hierarchy(planes, min_size=16, max_levels=16, coarse='lu',
+                    smoother='jacobi'):
     '''
     Build a multigrid hierarchy from (B, B, 9, nz, nx) planes. Coarsens by
     2x per level until min(nz, nx) <= min_size, then either LU-factorizes
@@ -319,6 +339,13 @@ def build_hierarchy(planes, min_size=16, max_levels=16, coarse='lu'):
     backends without a dense LU, and for very large coarsest grids).
     Boundary-ring dofs are excluded from the coarse-grid correction at
     every level (see ``_mask_ring_planes``).
+
+    ``smoother='line'`` (block operators only) precomputes per-level
+    alternating z/x line-splitting PCR states: damped block-Jacobi cannot
+    damp the strongly-coupled error modes the PML complex stretch creates
+    in the Eurus TTI system under velocity contrast (measured: layered
+    2:1 TTI at 256^2 stalls at 1e-2 with Jacobi at every tested damping,
+    converges in ~200 iterations with alternating line smoothing).
     '''
 
     rdtype = jnp.real(jnp.zeros((), planes.dtype)).dtype
@@ -328,7 +355,10 @@ def build_hierarchy(planes, min_size=16, max_levels=16, coarse='lu'):
         nz, nx = current.shape[-2:]
         mask = _ring_mask(nz, nx, rdtype)
         dinv = invert_block_diag(block_diag(current))
-        levels.append(MGLevel(current, dinv, mask))
+        linez = linex = None
+        if smoother == 'line' and current.shape[0] > 1:
+            linez, linex = _line_pcr_states(current)
+        levels.append(MGLevel(current, dinv, mask, linez, linex))
         if min(nz, nx) <= min_size:
             break
         masked = _mask_ring_planes(current, mask)
@@ -353,14 +383,33 @@ def build_hierarchy(planes, min_size=16, max_levels=16, coarse='lu'):
     return MGHierarchy(tuple(levels), lu, piv, cinv)
 
 
+#: damping of the alternating-line smoother; 1.0 diverges on layered TTI,
+#: 0.6-0.8 both converge with 0.8 fastest (measured at 128^2/256^2)
+LINE_OMEGA = 0.8
+
+
 def _smooth(level, u, b, omega, nsweeps, from_zero=False):
     '''
-    Damped block-Jacobi sweeps. (Preconditioner-only: fast apply is OK.)
-    ``from_zero=True`` asserts the incoming u is all-zero, enabling the
-    fused from-zero double-sweep kernel (saves the u input stream).
+    Damped smoothing sweeps. (Preconditioner-only: fast apply is OK.)
+    Block-Jacobi by default; alternating z/x line sweeps (exact damped
+    solves of the tridiagonal band splittings, via precomputed block PCR)
+    when the level carries line states. ``from_zero=True`` asserts the
+    incoming u is all-zero, enabling the fused from-zero double-sweep
+    kernel (saves the u input stream) on the scalar Jacobi path.
     '''
 
     B = level.planes.shape[0]
+    if level.linez is not None:
+        from .stratified import pcr_apply_block
+        w = LINE_OMEGA
+
+        def body(i, u):
+            r = b - apply_block_stencil_fast(level.planes, u)
+            u = u + w * pcr_apply_block(level.linez, r)
+            r = b - apply_block_stencil_fast(level.planes, u)
+            du = pcr_apply_block(level.linex, jnp.swapaxes(r, -1, -2))
+            return u + w * jnp.swapaxes(du, -1, -2)
+        return lax.fori_loop(0, nsweeps, body, u)
     if B == 1:
         # scalar operator: fused sweeps (apply + diag-inverse + update in
         # one pass; double-sweep Pallas kernels on TPU when vmapped)
@@ -478,9 +527,12 @@ def transpose_hierarchy(hier):
     levels = []
     for lvl in hier.levels:
         planesT = stencil.transpose_block_planes(lvl.planes)
+        linez = linex = None
+        if lvl.linez is not None:
+            linez, linex = _line_pcr_states(planesT)
         levels.append(MGLevel(planesT,
                               invert_block_diag(block_diag(planesT)),
-                              lvl.mask))
+                              lvl.mask, linez, linex))
     lu, piv, cinv = None, None, None
     if hier.coarse_inv is not None:
         # inverse of the transpose is the transpose of the inverse
