@@ -46,7 +46,6 @@ def _oracle_error(dx, base_n=60, freq=120., cval=2400.):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_operator_order_is_second():
     'Halving dx must reduce the oracle error by ~4x (2nd-order stencil).'
 

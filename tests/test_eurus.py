@@ -47,7 +47,6 @@ def test_cleanExecution():
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_compareAnalytical_Isotropic():
     systemConfig = _config(0., 0.)
     sloc = np.array([25, 25]).reshape((1, 2))
@@ -65,7 +64,6 @@ def test_compareAnalytical_Isotropic():
     assert error < 3e-2
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_compareAnalytical_Elliptical():
     systemConfig = _config(0.2, 0.2)

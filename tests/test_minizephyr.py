@@ -87,7 +87,6 @@ def test_cleanExecution25D():
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_compareAnalytical25D():
 
     systemConfig = {

@@ -229,7 +229,7 @@ def test_make_multihost_mesh_single_host():
     # a psum over all three axes runs and matches the device count
     from functools import partial
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     @partial(shard_map, mesh=mesh, in_specs=P('host', 'freq', 'src'),

@@ -216,3 +216,51 @@ def test_pallas_block_apply_interpret_matches_reference():
     ref = jax.vmap(lambda x: apply_block_stencil(planes, x))(u)
     out = apply_block_stencil_pallas_batched(planes, u, interpret=True)
     assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 1e-5
+
+
+def test_pallas_jacobi2_interpret_matches_reference():
+    'Fused DOUBLE sweep (and its from-zero variant) vs two jnp sweeps.'
+    from zephyr_tpu.ops.pallas_stencil import (jacobi_sweep2_pallas_batched,
+                                               pallas_jacobi2_applicable)
+    from zephyr_tpu.ops.stencil import apply_stencil
+
+    R, nz, nx = 2, 16, 128
+    mk = lambda *s: jnp.asarray((RNG.standard_normal(s)
+                                 + 1j * RNG.standard_normal(s)
+                                 ).astype(np.complex64))
+    planes, dinv, b, u = mk(9, nz, nx), mk(nz, nx), mk(R, nz, nx), mk(R, nz, nx)
+    assert pallas_jacobi2_applicable(planes, b)
+
+    def sweep(x):
+        return x + dinv * (b - jax.vmap(lambda q: apply_stencil(planes, q))(x))
+
+    ref = sweep(sweep(u))
+    out = jacobi_sweep2_pallas_batched(planes, dinv, b, u, interpret=True)
+    assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 1e-5
+
+    ref0 = sweep(dinv * b)
+    out0 = jacobi_sweep2_pallas_batched(planes, dinv, b, None, interpret=True)
+    assert float(jnp.abs(out0 - ref0).max() / jnp.abs(ref0).max()) < 1e-5
+
+
+def test_pallas_transfers_interpret_match_reference():
+    'Pallas restrict/prolong vs the jnp separable references.'
+    from zephyr_tpu.ops.pallas_transfer import (
+        restrict_pallas_batched, restrict_pallas_applicable,
+        prolong_pallas_batched, prolong_pallas_applicable)
+    from zephyr_tpu.solver.multigrid import _restrict_ref, _prolong_ref
+
+    R, nz, nx = 2, 16, 256
+    v = jnp.asarray((RNG.standard_normal((R, nz, nx))
+                     + 1j * RNG.standard_normal((R, nz, nx))
+                     ).astype(np.complex64))
+    assert restrict_pallas_applicable(v)
+    ref = _restrict_ref(v)
+    out = restrict_pallas_batched(v, interpret=True)
+    assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 1e-5
+
+    vc = ref
+    assert prolong_pallas_applicable(vc, nz, nx)
+    refp = _prolong_ref(vc, nz, nx)
+    outp = prolong_pallas_batched(vc, nz, nx, interpret=True)
+    assert float(jnp.abs(outp - refp).max() / jnp.abs(refp).max()) < 1e-5

@@ -118,8 +118,8 @@ def _transfer_call(v, mz, mxT, out_zx, WZ, WX, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(mxT.shape, lambda i, j, r: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, TOz, TOx), lambda i, j, r: (r, i, j),

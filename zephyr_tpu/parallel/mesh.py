@@ -90,8 +90,7 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
         env = os.environ.get('JAX_PROCESS_ID')
         process_id = int(env) if env else None
 
-    from jax._src import distributed as _dist
-    if getattr(_dist.global_state, 'client', None) is not None:
+    if jax.distributed.is_initialized():
         return True     # already initialized
 
     if coordinator_address is None:

@@ -116,10 +116,11 @@ class SolverConfig(NamedTuple):
                               # measured medium class (512^2 iterations:
                               # layered 39 vs 231, vertical gradient 35
                               # vs 157, homogeneous 19 vs 20, random 30
-                              # vs 31, x-varying 212 vs 234). Scalar
-                              # (B=1) operators only — block/TTI systems
-                              # fall back to '2d' (constant mean interior
-                              # symbol) automatically.
+                              # vs 31, x-varying 212 vs 234). Block/TTI
+                              # (B=2) systems use the block-tridiagonal
+                              # stratified family built from the FINE
+                              # planes (see prepare_operator); other
+                              # block sizes fall back to '2d'.
 
 
 def shifted_velocity(c, shift=0.5j):
@@ -266,9 +267,15 @@ def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
     hierT = transpose_hierarchy(hier) if with_transpose else None
     sinv = None
     planesT = None
+    # the Galerkin-coarsened true/precond planes feed the reduced-
+    # resolution spectral solve and the fused cycle's level-1 residual;
+    # the B=2 stratified branch never consumes them (it always builds
+    # from the FINE planes), so skip the coarsening work there
+    block_strat = config.fft_mode == 'strat' and planes.shape[0] == 2
     need_coarse = (config.precond == 'hybrid'
                    and (config.fft_scale > 1
-                        or config.hybrid_comp == 'fused'))
+                        or config.hybrid_comp == 'fused')
+                   and not block_strat)
     ctrue = cpp = None
     if need_coarse:
         # Galerkin-coarsened TRUE operator (preconditioner-internal:

@@ -65,6 +65,60 @@ def _shift_z(a, s):
     return lax.slice_in_dim(ap, start, start + nz, axis=a.ndim - 2)
 
 
+def _pcr_nsteps(nz):
+    return max(1, int(np.ceil(np.log2(max(nz, 2)))))
+
+
+def _safe_inv(x, delta):
+    '''
+    Magnitude-clamped reciprocal: entries below ``delta * max|x|``
+    (including the exact zeros produced by out-of-range shifts) are
+    replaced by the clamp value with their phase preserved, so the
+    inverse stays finite and 0 * inv products stay 0.
+    '''
+
+    a = jnp.abs(x)
+    dmin = delta * jnp.max(a)
+    tiny = jnp.finfo(a.dtype).tiny
+    phase = jnp.where(a > 0, x / jnp.maximum(a, tiny).astype(x.dtype),
+                      jnp.ones((), x.dtype))
+    xs = jnp.where(a < dmin, dmin.astype(x.dtype) * phase, x)
+    return 1.0 / xs
+
+
+def _pcr_levels(l, d, u, delta):
+    '''
+    The RHS-independent cyclic-reduction recurrence — THE single source
+    of truth for the scalar PCR arithmetic (clamping included), shared
+    by the on-the-fly solve and the precomputed fast path. Returns
+    (alphas, gammas) per level and the final reduced diagonal inverse.
+    '''
+
+    alphas, gammas = [], []
+    s = 1
+    for _ in range(_pcr_nsteps(d.shape[-2])):
+        alpha = -l * _safe_inv(_shift_z(d, -s), delta)
+        gamma = -u * _safe_inv(_shift_z(d, +s), delta)
+        l_new = alpha * _shift_z(l, -s)
+        u_new = gamma * _shift_z(u, +s)
+        d_new = d + alpha * _shift_z(u, -s) + gamma * _shift_z(l, +s)
+        alphas.append(alpha)
+        gammas.append(gamma)
+        l, d, u = l_new, d_new, u_new
+        s *= 2
+    return alphas, gammas, _safe_inv(d, delta)
+
+
+def _pcr_sweep_rhs(alphas, gammas, dinv, b):
+    'RHS-only reduction sweep with per-level (alpha, gamma) factors.'
+
+    s = 1
+    for alpha, gamma in zip(alphas, gammas):
+        b = b + alpha * _shift_z(b, -s) + gamma * _shift_z(b, +s)
+        s *= 2
+    return b * dinv
+
+
 def tridiag_pcr_solve(l, d, u, b, delta=1e-6):
     '''
     Solve tridiagonal systems T x = b along axis -2, batched over every
@@ -80,39 +134,7 @@ def tridiag_pcr_solve(l, d, u, b, delta=1e-6):
     complex shift, so true zeros do not occur).
     '''
 
-    nz = d.shape[-2]
-    nsteps = max(1, int(np.ceil(np.log2(max(nz, 2)))))
-
-    def _safe_inv(x):
-        # magnitude-clamped reciprocal: entries below ``delta * max|x|``
-        # (including the exact zeros produced by out-of-range shifts) are
-        # replaced by the clamp value with their phase preserved, so the
-        # inverse stays finite and 0 * inv products stay 0
-        a = jnp.abs(x)
-        dmin = delta * jnp.max(a)
-        tiny = jnp.finfo(a.dtype).tiny
-        phase = jnp.where(a > 0, x / jnp.maximum(a, tiny).astype(x.dtype),
-                          jnp.ones((), x.dtype))
-        xs = jnp.where(a < dmin, dmin.astype(x.dtype) * phase, x)
-        return 1.0 / xs
-
-    s = 1
-    for _ in range(nsteps):
-        inv_dm = _safe_inv(_shift_z(d, -s))   # d[z - s]
-        inv_dp = _safe_inv(_shift_z(d, +s))   # d[z + s]
-        alpha = -l * inv_dm
-        gamma = -u * inv_dp
-        l_new = alpha * _shift_z(l, -s)
-        u_new = gamma * _shift_z(u, +s)
-        d_new = d + alpha * _shift_z(u, -s) + gamma * _shift_z(l, +s)
-        b_new = (b + alpha * _shift_z(b, -s) + gamma * _shift_z(b, +s))
-        l, d, u, b = l_new, d_new, u_new, b_new
-        s *= 2
-    return b * _safe_inv(d)
-
-
-def _pcr_nsteps(nz):
-    return max(1, int(np.ceil(np.log2(max(nz, 2)))))
+    return _pcr_sweep_rhs(*_pcr_levels(l, d, u, delta), b)
 
 
 def pcr_precompute(l, d, u, delta=1e-6):
@@ -120,48 +142,18 @@ def pcr_precompute(l, d, u, delta=1e-6):
     Run the RHS-independent part of the cyclic reduction once, returning
     a StratPCR whose per-level (alpha, gamma) arrays drive the fast
     ``pcr_apply`` sweep. Identical arithmetic (and clamping) to
-    ``tridiag_pcr_solve``.
+    ``tridiag_pcr_solve`` — both run ``_pcr_levels``.
     '''
 
     ldu = jnp.stack([l, d, u], axis=0)
-    nz = d.shape[-2]
-    nsteps = _pcr_nsteps(nz)
-
-    def _safe_inv(x):
-        a = jnp.abs(x)
-        dmin = delta * jnp.max(a)
-        tiny = jnp.finfo(a.dtype).tiny
-        phase = jnp.where(a > 0, x / jnp.maximum(a, tiny).astype(x.dtype),
-                          jnp.ones((), x.dtype))
-        xs = jnp.where(a < dmin, dmin.astype(x.dtype) * phase, x)
-        return 1.0 / xs
-
-    alphas, gammas = [], []
-    s = 1
-    for _ in range(nsteps):
-        alpha = -l * _safe_inv(_shift_z(d, -s))
-        gamma = -u * _safe_inv(_shift_z(d, +s))
-        l_new = alpha * _shift_z(l, -s)
-        u_new = gamma * _shift_z(u, +s)
-        d_new = d + alpha * _shift_z(u, -s) + gamma * _shift_z(l, +s)
-        alphas.append(alpha)
-        gammas.append(gamma)
-        l, d, u = l_new, d_new, u_new
-        s *= 2
-    return StratPCR(jnp.stack(alphas, 0), jnp.stack(gammas, 0),
-                    _safe_inv(d), ldu)
+    alphas, gammas, dinv = _pcr_levels(l, d, u, delta)
+    return StratPCR(jnp.stack(alphas, 0), jnp.stack(gammas, 0), dinv, ldu)
 
 
 def pcr_apply(pcr, b):
     'RHS-only cyclic-reduction sweep with precomputed levels.'
 
-    nsteps = pcr.alphas.shape[0]
-    s = 1
-    for i in range(nsteps):
-        b = (b + pcr.alphas[i] * _shift_z(b, -s)
-             + pcr.gammas[i] * _shift_z(b, +s))
-        s *= 2
-    return b * pcr.dinv
+    return _pcr_sweep_rhs(pcr.alphas, pcr.gammas, pcr.dinv, b)
 
 
 # ---------------------------------------------------------------------------
@@ -212,6 +204,40 @@ def _bshift(A, s):
     return _shift_z(A, s)
 
 
+def _pcr_levels_block(L, D, U, delta):
+    '''
+    RHS-independent block cyclic-reduction recurrence — the single
+    source of truth for the block PCR arithmetic, shared by the
+    on-the-fly solve and the precomputed fast path.
+    '''
+
+    alphas, gammas = [], []
+    s = 1
+    for _ in range(_pcr_nsteps(D.shape[-2])):
+        alpha = _bmul(-L, _binv(_bshift(D, -s), delta))
+        gamma = _bmul(-U, _binv(_bshift(D, +s), delta))
+        L_new = _bmul(alpha, _bshift(L, -s))
+        U_new = _bmul(gamma, _bshift(U, +s))
+        D_new = D + _bmul(alpha, _bshift(U, -s)) \
+            + _bmul(gamma, _bshift(L, +s))
+        alphas.append(alpha)
+        gammas.append(gamma)
+        L, D, U = L_new, D_new, U_new
+        s *= 2
+    return alphas, gammas, _binv(D, delta)
+
+
+def _pcr_sweep_rhs_block(alphas, gammas, dinv, b):
+    'RHS-only block reduction sweep with per-level factors.'
+
+    s = 1
+    for alpha, gamma in zip(alphas, gammas):
+        b = b + _bmatvec(alpha, _shift_z(b, -s)) \
+            + _bmatvec(gamma, _shift_z(b, +s))
+        s *= 2
+    return _bmatvec(dinv, b)
+
+
 def block_tridiag_pcr_solve(L, D, U, b, delta=1e-6):
     '''
     Solve block-tridiagonal systems (2x2 blocks) along axis -2 of the
@@ -221,21 +247,7 @@ def block_tridiag_pcr_solve(L, D, U, b, delta=1e-6):
     reduction as the scalar path, with pointwise block inverses.
     '''
 
-    nz = D.shape[-2]
-    nsteps = _pcr_nsteps(nz)
-    s = 1
-    for _ in range(nsteps):
-        alpha = _bmul(-L, _binv(_bshift(D, -s), delta))
-        gamma = _bmul(-U, _binv(_bshift(D, +s), delta))
-        L_new = _bmul(alpha, _bshift(L, -s))
-        U_new = _bmul(gamma, _bshift(U, +s))
-        D_new = D + _bmul(alpha, _bshift(U, -s)) \
-            + _bmul(gamma, _bshift(L, +s))
-        b_new = b + _bmatvec(alpha, _shift_z(b, -s)) \
-            + _bmatvec(gamma, _shift_z(b, +s))
-        L, D, U, b = L_new, D_new, U_new, b_new
-        s *= 2
-    return _bmatvec(_binv(D, delta), b)
+    return _pcr_sweep_rhs_block(*_pcr_levels_block(L, D, U, delta), b)
 
 
 class StratPCRBlock(NamedTuple):
@@ -248,37 +260,22 @@ class StratPCRBlock(NamedTuple):
 
 
 def pcr_precompute_block(L, D, U, delta=1e-6):
-    'RHS-independent block reduction, run once at prepare time.'
+    '''
+    RHS-independent block reduction, run once at prepare time. Identical
+    arithmetic to ``block_tridiag_pcr_solve`` — both run
+    ``_pcr_levels_block``.
+    '''
 
     ldu = jnp.stack([L, D, U], axis=0)
-    nsteps = _pcr_nsteps(D.shape[-2])
-    alphas, gammas = [], []
-    s = 1
-    for _ in range(nsteps):
-        alpha = _bmul(-L, _binv(_bshift(D, -s), delta))
-        gamma = _bmul(-U, _binv(_bshift(D, +s), delta))
-        L_new = _bmul(alpha, _bshift(L, -s))
-        U_new = _bmul(gamma, _bshift(U, +s))
-        D_new = D + _bmul(alpha, _bshift(U, -s)) \
-            + _bmul(gamma, _bshift(L, +s))
-        alphas.append(alpha)
-        gammas.append(gamma)
-        L, D, U = L_new, D_new, U_new
-        s *= 2
+    alphas, gammas, dinv = _pcr_levels_block(L, D, U, delta)
     return StratPCRBlock(jnp.stack(alphas, 0), jnp.stack(gammas, 0),
-                         _binv(D, delta), ldu)
+                         dinv, ldu)
 
 
 def pcr_apply_block(pcr, b):
     'RHS-only block cyclic-reduction sweep with precomputed levels.'
 
-    nsteps = pcr.alphas.shape[0]
-    s = 1
-    for i in range(nsteps):
-        b = (b + _bmatvec(pcr.alphas[i], _shift_z(b, -s))
-             + _bmatvec(pcr.gammas[i], _shift_z(b, +s)))
-        s *= 2
-    return _bmatvec(pcr.dinv, b)
+    return _pcr_sweep_rhs_block(pcr.alphas, pcr.gammas, pcr.dinv, b)
 
 
 def _block_transpose(A):
