@@ -29,18 +29,25 @@ from jax import shard_map
 from ..ops.stencil import OFFSETS
 
 
-def _exchange_axis(u_local, axis_name, dim):
+def _exchange_axis(u_local, axis_name, dim, width=1, edge='zero'):
     '''
-    Exchange one-cell halos along array dimension ``dim`` (-1 for x
+    Exchange ``width``-cell halos along array dimension ``dim`` (-1 for x
     columns, -2 for z rows) across mesh axis ``axis_name``. Returns the
-    local block grown by 2 along ``dim``, zero-filled at global edges.
+    local block grown by 2*width along ``dim``. At GLOBAL edges the halo
+    is zero-filled (``edge='zero'``, the field/residual convention —
+    matches the stencil's zero extension) or mirror-filled with the
+    shard's own edge strip (``edge='mirror'`` — used for operator
+    coefficient planes in the overlapped-Schwarz slabs, where zero rows
+    would otherwise become unit-diagonal rows INSIDE the slab and break
+    the local multigrid's two-grid convergence, exactly the sign-mixing
+    failure ``multigrid._mask_ring_planes`` documents).
     '''
 
     idx = lax.axis_index(axis_name)
     n = lax.axis_size(axis_name)
 
-    lo_edge = lax.slice_in_dim(u_local, 0, 1, axis=u_local.ndim + dim)
-    hi_edge = lax.slice_in_dim(u_local, u_local.shape[dim] - 1,
+    lo_edge = lax.slice_in_dim(u_local, 0, width, axis=u_local.ndim + dim)
+    hi_edge = lax.slice_in_dim(u_local, u_local.shape[dim] - width,
                                u_local.shape[dim], axis=u_local.ndim + dim)
 
     # my high edge becomes my successor's low halo, and vice versa
@@ -48,8 +55,14 @@ def _exchange_axis(u_local, axis_name, dim):
                            [(i, (i + 1) % n) for i in range(n)])
     from_hi = lax.ppermute(lo_edge, axis_name,
                            [(i, (i - 1) % n) for i in range(n)])
-    from_lo = jnp.where(idx == 0, jnp.zeros_like(from_lo), from_lo)
-    from_hi = jnp.where(idx == n - 1, jnp.zeros_like(from_hi), from_hi)
+    if edge == 'mirror':
+        fill_lo = jnp.flip(lo_edge, axis=u_local.ndim + dim)
+        fill_hi = jnp.flip(hi_edge, axis=u_local.ndim + dim)
+    else:
+        fill_lo = jnp.zeros_like(from_lo)
+        fill_hi = jnp.zeros_like(from_hi)
+    from_lo = jnp.where(idx == 0, fill_lo, from_lo)
+    from_hi = jnp.where(idx == n - 1, fill_hi, from_hi)
     return jnp.concatenate([from_lo, u_local, from_hi],
                            axis=u_local.ndim + dim)
 
@@ -64,15 +77,40 @@ def halo_exchange_x(u_local, axis_name):
     return _exchange_axis(u_local, axis_name, -1)
 
 
-def halo_exchange_2d(u_local, axis_z, axis_x):
+def halo_exchange_2d(u_local, axis_z, axis_x, width=1):
     '''
     Two-axis halo exchange for (z, x)-tiled grids: x columns first, then
     z rows of the x-extended block — the corner halos ride the second
-    exchange automatically. Returns (..., nz_local+2, nx_local+2).
+    exchange automatically. Returns the block grown by 2*width per axis.
     '''
 
-    uh = _exchange_axis(u_local, axis_x, -1)
-    return _exchange_axis(uh, axis_z, -2)
+    uh = _exchange_axis(u_local, axis_x, -1, width)
+    return _exchange_axis(uh, axis_z, -2, width)
+
+
+def _extend_overlap(a, axis_z, axis_x, width, edge='zero'):
+    '''
+    Grow a shard-local array by ``width`` cells per side along the
+    sharded grid axes — the overlapped slab of restricted additive
+    Schwarz. Works for fields (..., nz, nx) and coefficient planes
+    (B, B, 9, nz, nx) alike; ``edge`` controls the global-edge fill
+    (see ``_exchange_axis``).
+    '''
+
+    out = _exchange_axis(a, axis_x, -1, width, edge)
+    if axis_z is not None:
+        out = _exchange_axis(out, axis_z, -2, width, edge)
+    return out
+
+
+def _crop_overlap(a, axis_z, width):
+    'Crop the owned (non-overlap) center of an overlapped-slab result.'
+
+    out = lax.slice_in_dim(a, width, a.shape[-1] - width, axis=a.ndim - 1)
+    if axis_z is not None:
+        out = lax.slice_in_dim(out, width, a.shape[-2] - width,
+                               axis=a.ndim - 2)
+    return out
 
 
 def apply_stencil_sharded(planes_local, u_local, axis_name=None,
@@ -213,29 +251,87 @@ def sharded_bicgstab(planes_local, b_local, M_local, axis_name,
     return x, k, jnp.max(norm(r) / bnorm)
 
 
-def _local_hybrid_precond(planes_local, pplanes_local, cfg):
+def _local_hybrid_precond(planes_local, pplanes_local, cfg,
+                          axis_x=None, axis_z=None, overlap=0):
     '''
     The FULL production preconditioner built on the local slab: each
     shard runs prepare_operator on its own planes (stratified/spectral
     interior solve + CSLP multigrid + exact coarse inverse), giving an
     additive-Schwarz hybrid. Returns the M_local application.
+
+    With ``overlap`` > 0 this becomes restricted additive Schwarz (RAS):
+    the slab (planes and, per application, the residual) is grown by
+    ``overlap`` cells per sharded side via halo exchange, the local
+    preconditioner acts on the extended slab, and only the owned center
+    of the result is kept. Measured at 256^2 layered / 2x2 tiles:
+    159 -> 107 outer iterations at overlap 16 on a 2x2 mesh at 256^2
+    (83 vs 125 at 128^2); overlap should be ~1 wavelength.
+    Coefficient halos beyond the GLOBAL domain edge are mirror-filled
+    (zero-filled halos would plant unit-diagonal rows inside the slab
+    and break the local MG — see ``_exchange_axis``); residual halos
+    there stay zero, so the mirrored rows solve homogeneous equations
+    whose garbage lives entirely in the cropped overlap band.
     '''
 
     from ..solver.helmholtz import prepare_operator, _make_precond
 
-    op = prepare_operator(lax.stop_gradient(planes_local),
-                          lax.stop_gradient(pplanes_local), cfg,
-                          with_transpose=False)
-    return _make_precond(op, cfg)
+    planes_local = lax.stop_gradient(planes_local)
+    pplanes_local = lax.stop_gradient(pplanes_local)
+    interior_mask = None
+    if overlap:
+        planes_local = _extend_overlap(planes_local, axis_z, axis_x,
+                                       overlap, edge='mirror')
+        pplanes_local = _extend_overlap(pplanes_local, axis_z, axis_x,
+                                        overlap, edge='mirror')
+        # exclude from the local coarse-grid correction every row the
+        # slab treats as closure: the mirror band at GLOBAL edges plus
+        # the true global Dirichlet ring row, which now sit INSIDE the
+        # slab rather than on its ring (the Dirichlet +1 rows mixed into
+        # the Galerkin coarse operator are the documented two-grid
+        # breaker — this masking is what makes overlapped slabs converge)
+        nzx, nxx = planes_local.shape[-2:]
+        xi = jnp.arange(nxx)
+        ix = lax.axis_index(axis_x)
+        nx_ = lax.axis_size(axis_x)
+        mx = jnp.ones((nxx,), jnp.float32)
+        mx = jnp.where((ix == 0) & (xi <= overlap), 0.0, mx)
+        mx = jnp.where((ix == nx_ - 1) & (xi >= nxx - 1 - overlap),
+                       0.0, mx)
+        if axis_z is not None:
+            zi = jnp.arange(nzx)
+            iz = lax.axis_index(axis_z)
+            nz_ = lax.axis_size(axis_z)
+            mz = jnp.ones((nzx,), jnp.float32)
+            mz = jnp.where((iz == 0) & (zi <= overlap), 0.0, mz)
+            mz = jnp.where((iz == nz_ - 1) & (zi >= nzx - 1 - overlap),
+                           0.0, mz)
+        else:
+            mz = jnp.ones((nzx,), jnp.float32)
+        interior_mask = mz[:, None] * mx[None, :]
+    op = prepare_operator(planes_local, pplanes_local, cfg,
+                          with_transpose=False,
+                          interior_mask=interior_mask)
+    M0 = _make_precond(op, cfg)
+    if not overlap:
+        return M0
+
+    def M(r):
+        r_ext = _extend_overlap(r, axis_z, axis_x, overlap)
+        return _crop_overlap(M0(r_ext), axis_z, overlap)
+
+    return M
 
 
-def make_dd_solver(mesh, config=None, axis_name='x', axis_z=None):
+def make_dd_solver(mesh, config=None, axis_name='x', axis_z=None,
+                   overlap=16):
     '''
     Build a jitted domain-decomposed Helmholtz solve:
         (planes, precond_planes, b) -> (x, iters, relres)
     with the grid sharded along ``axis_name`` (x slabs) and optionally
-    ``axis_z`` ((z, x) tiles). The preconditioner is the full hybrid
-    stack built shard-locally; the outer Krylov carries the coupling.
+    ``axis_z`` ((z, x) tiles). The preconditioner is the restricted-
+    additive-Schwarz hybrid stack built shard-locally on ``overlap``-
+    extended slabs (overlap=0 recovers plain block Schwarz); the outer
+    Krylov carries the global coupling.
     ``b`` may be (B, nz, nx) or batched (R, B, nz, nx).
     '''
 
@@ -246,7 +342,9 @@ def make_dd_solver(mesh, config=None, axis_name='x', axis_z=None):
     pspec = P(None, None, None, axis_z, axis_name)
 
     def local_solve(planes_local, pplanes_local, b_local):
-        M_local = _local_hybrid_precond(planes_local, pplanes_local, cfg)
+        M_local = _local_hybrid_precond(planes_local, pplanes_local, cfg,
+                                        axis_x=axis_name, axis_z=axis_z,
+                                        overlap=overlap)
         return sharded_bicgstab(planes_local, b_local, M_local,
                                 axis_name, tol=cfg.tol,
                                 maxiter=cfg.maxiter, axis_z=axis_z)
@@ -263,7 +361,7 @@ def make_dd_solver(mesh, config=None, axis_name='x', axis_z=None):
 
 
 def make_dd_dpred(mesh, freqs, config=None, axis_name='x', axis_z=None,
-                  Q=None, freqBase=0.0, **plane_kwargs):
+                  Q=None, freqBase=0.0, overlap=16, **plane_kwargs):
     '''
     Production forward modelling over a spatially sharded grid:
         dpred(c, rho, q, R) -> (nfreq, nsrc, nrec) data cube.
@@ -301,7 +399,10 @@ def make_dd_dpred(mesh, freqs, config=None, axis_name='x', axis_z=None,
             pml_cap=cfg.pml_cap, **plane_kwargs)[None, None]
 
         def local(planes_l, pplanes_l, b_l, R_l):
-            M_local = _local_hybrid_precond(planes_l, pplanes_l, cfg)
+            M_local = _local_hybrid_precond(planes_l, pplanes_l, cfg,
+                                            axis_x=axis_name,
+                                            axis_z=axis_z,
+                                            overlap=overlap)
             x, iters, relres = sharded_bicgstab(
                 planes_l, b_l, M_local, axis_name, tol=cfg.tol,
                 maxiter=cfg.maxiter, axis_z=axis_z)

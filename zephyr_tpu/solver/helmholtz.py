@@ -248,22 +248,28 @@ def _fft_symbol_inverse(planes, precond_planes, config):
 
 
 def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
-                     with_transpose=True):
+                     with_transpose=True, interior_mask=None):
     '''
     Build a HelmholtzOperator from coefficient planes. ``precond_planes``
     are the planes of the complex-shifted operator (defaults to the true
     planes, which works but converges more slowly at high frequency).
     The hierarchies and spectral symbol are built under stop_gradient: the
     preconditioner does not participate in differentiation.
+    ``interior_mask`` marks extra Dirichlet-like rows to exclude from the
+    multigrid coarse correction (overlapped-Schwarz slabs — see
+    ``multigrid.build_hierarchy``).
     '''
 
     if precond_planes is None:
         precond_planes = planes
     pp = lax.stop_gradient(precond_planes)
+    if interior_mask is not None:
+        interior_mask = lax.stop_gradient(interior_mask)
     smoother = ('line' if planes.shape[0] > 1
                 and config.mg_smoother in ('auto', 'line') else 'jacobi')
     hier = build_hierarchy(pp, min_size=config.mg_min_size,
-                           coarse=config.mg_coarse, smoother=smoother)
+                           coarse=config.mg_coarse, smoother=smoother,
+                           interior_mask=interior_mask)
     hierT = transpose_hierarchy(hier) if with_transpose else None
     sinv = None
     planesT = None
@@ -288,6 +294,8 @@ def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
         nz, nx = tp.shape[-2:]
         rdtype = jnp.real(jnp.zeros((), tp.dtype)).dtype
         mask = _ring_mask(nz, nx, rdtype)
+        if interior_mask is not None:
+            mask = mask * interior_mask.astype(rdtype)
         ctrue = _fix_empty_rows(galerkin_coarsen(
             _mask_ring_planes(tp, mask)))
         if len(hier.levels) > 1:

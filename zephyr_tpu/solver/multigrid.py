@@ -330,7 +330,7 @@ def _line_pcr_states(planes):
 
 
 def build_hierarchy(planes, min_size=16, max_levels=16, coarse='lu',
-                    smoother='jacobi'):
+                    smoother='jacobi', interior_mask=None):
     '''
     Build a multigrid hierarchy from (B, B, 9, nz, nx) planes. Coarsens by
     2x per level until min(nz, nx) <= min_size, then either LU-factorizes
@@ -346,14 +346,23 @@ def build_hierarchy(planes, min_size=16, max_levels=16, coarse='lu',
     in the Eurus TTI system under velocity contrast (measured: layered
     2:1 TTI at 256^2 stalls at 1e-2 with Jacobi at every tested damping,
     converges in ~200 iterations with alternating line smoothing).
+
+    ``interior_mask`` (optional, (nz, nx) in {0, 1}) marks EXTRA rows to
+    exclude from the coarse-grid correction at the finest level, on top
+    of the boundary ring — used by the overlapped-Schwarz slabs, whose
+    Dirichlet-like closure rows sit INSIDE the slab rather than on its
+    ring. Masked rows are still smoothed (they are decoupled diagonal
+    rows the smoother solves exactly).
     '''
 
     rdtype = jnp.real(jnp.zeros((), planes.dtype)).dtype
     levels = []
     current = planes
-    for _ in range(max_levels):
+    for lev in range(max_levels):
         nz, nx = current.shape[-2:]
         mask = _ring_mask(nz, nx, rdtype)
+        if lev == 0 and interior_mask is not None:
+            mask = mask * interior_mask.astype(rdtype)
         dinv = invert_block_diag(block_diag(current))
         linez = linex = None
         if smoother == 'line' and current.shape[0] > 1:
