@@ -111,6 +111,28 @@ class BaseDiscretization(BaseModelDependent):
         n = self.nblock * self.nrow
         return (n, n)
 
+    def _tracedPlaneInputs(self):
+        '''
+        Plane-builder inputs that VARY across sibling subproblems (the
+        per-frequency / per-ky members of a distributor): passed as
+        traced arguments of the shared prepare jit, so e.g. a 50-
+        frequency MultiFreq job compiles the operator preparation ONCE
+        instead of once per frequency (the reference pays one sparse
+        factorization per frequency instead,
+        zephyr/backend/distributors.py:243-265).
+        '''
+        return {'freq': np.complex128(self.freq),
+                'tau': np.float64(self.tau)}
+
+    def _staticPlaneKey(self):
+        'Hashable plane-builder attributes baked into the shared trace.'
+        return (float(self.dx), float(self.dz),
+                tuple(bool(f) for f in self.freeSurf))
+
+    # shared across instances: one prepare trace per
+    # (class, shape, dtype, config, static plane attributes)
+    _rio_preps = {}
+
     @property
     def Ainv(self):
         '''
@@ -118,25 +140,40 @@ class BaseDiscretization(BaseModelDependent):
         built INSIDE a real-I/O jit boundary so the whole preparation
         runs on accelerators without complex host<->device transfer
         (core/realio.py). Held as a device-resident re/im pair pytree.
+        The jitted preparation is cached class-wide with frequency-like
+        scalars as traced inputs (see ``_tracedPlaneInputs``).
         '''
         if not hasattr(self, '_Ainv'):
             from ..core.realio import realio_jit
             cdtype = default_complex_dtype()
+            rdtype = (np.float32 if cdtype == jnp.complex64
+                      else np.float64)
             cfg = self.solverConfig
+            traced = self._tracedPlaneInputs()
+            names = tuple(traced)
+            key = (type(self), self.nz, self.nx, np.dtype(cdtype).name,
+                   cfg, self._staticPlaneKey(), names)
+            cache = BaseDiscretization._rio_preps
+            if key not in cache:
+                def prep(c, rho, *vals):
+                    kw = dict(zip(names, vals))
+                    return prepare_operator(
+                        self._planesFromFields(c, rho, **kw),
+                        self._precondPlanesFromFields(c, rho, **kw),
+                        cfg, with_transpose=False)
 
-            def prep(c, rho):
-                return prepare_operator(
-                    self._planesFromFields(c, rho),
-                    self._precondPlanesFromFields(c, rho),
-                    cfg, with_transpose=False)
+                cache[key] = realio_jit(prep)
 
-            c = np.asarray(self.c, dtype=np.complex128)
-            if cdtype == jnp.complex64:
-                c = c.astype(np.complex64)
-            rho = np.asarray(self.rho, dtype=np.float64)
-            if cdtype == jnp.complex64:
-                rho = rho.astype(np.float32)
-            self._Ainv = realio_jit(prep)(c, rho)
+            def cast(v):
+                v = np.asarray(v)
+                if np.iscomplexobj(v):
+                    return v.astype(cdtype)
+                return v.astype(rdtype)
+
+            c = np.asarray(self.c, dtype=np.complex128).astype(cdtype)
+            rho = np.asarray(self.rho, dtype=np.float64).astype(rdtype)
+            vals = [cast(traced[k]) for k in names]
+            self._Ainv = cache[key](c, rho, *vals)
         return self._Ainv
 
     def _planesFromFields(self, c, rho):

@@ -53,20 +53,38 @@ class Eurus(BaseDiscretization, BaseAnisotropic):
     def nblock(self):
         return 2
 
-    def _planeKwargs(self):
-        return dict(freq=complex(np.complex128(self.freq)),
-                    theta=self.theta, eps=self.eps, delta=self.delta,
-                    dx=self.dx, dz=self.dz, nPML=self.nPML, cPML=self.cPML,
-                    tau=self.tau,
-                    freeSurf=tuple(bool(f) for f in self.freeSurf))
+    def _tracedPlaneInputs(self):
+        return {'freq': np.complex128(self.freq),
+                'tau': np.float64(self.tau),
+                'theta': np.asarray(self.theta, np.float64),
+                'eps': np.asarray(self.eps, np.float64),
+                'delta': np.asarray(self.delta, np.float64)}
 
-    def _planesFromFields(self, c, rho):
-        return eurus_planes(c, rho, **self._planeKwargs())
+    def _staticPlaneKey(self):
+        return (float(self.dx), float(self.dz), self.nPML,
+                float(self.cPML),
+                tuple(bool(f) for f in self.freeSurf))
 
-    def _precondPlanesFromFields(self, c, rho):
+    def _planeKwargs(self, freq=None, tau=None, theta=None, eps=None,
+                     delta=None):
+        return dict(
+            freq=(complex(np.complex128(self.freq)) if freq is None
+                  else freq),
+            tau=self.tau if tau is None else tau,
+            theta=self.theta if theta is None else theta,
+            eps=self.eps if eps is None else eps,
+            delta=self.delta if delta is None else delta,
+            dx=self.dx, dz=self.dz, nPML=self.nPML, cPML=self.cPML,
+            freeSurf=tuple(bool(f) for f in self.freeSurf))
+
+    def _planesFromFields(self, c, rho, **traced):
+        return eurus_planes(c, rho, **self._planeKwargs(**traced))
+
+    def _precondPlanesFromFields(self, c, rho, **traced):
         cfg = self.solverConfig
         return eurus_planes(shifted_velocity(c, cfg.shift), rho,
-                            pml_cap=cfg.pml_cap, **self._planeKwargs())
+                            pml_cap=cfg.pml_cap,
+                            **self._planeKwargs(**traced))
 
     def __mul__(self, rhs):
         '''

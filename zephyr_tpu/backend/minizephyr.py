@@ -48,20 +48,33 @@ class MiniZephyr(BaseDiscretization):
         'The cross-line wavenumber for 2.5D operation'
         return float(getattr(self, '_ky', 0.))
 
-    def _planeKwargs(self):
-        return dict(freq=complex(np.complex128(self.freq)),
-                    dx=self.dx, dz=self.dz, nPML=self.nPML, ky=self.ky,
-                    tau=self.tau, freeSurf=tuple(bool(f)
-                                                 for f in self.freeSurf))
+    def _tracedPlaneInputs(self):
+        return {'freq': np.complex128(self.freq),
+                'tau': np.float64(self.tau),
+                'ky': np.float64(self.ky)}
 
-    def _planesFromFields(self, c, rho):
-        return minizephyr_planes(c, rho, **self._planeKwargs())[None, None]
+    def _staticPlaneKey(self):
+        return (float(self.dx), float(self.dz), self.nPML,
+                tuple(bool(f) for f in self.freeSurf))
 
-    def _precondPlanesFromFields(self, c, rho):
+    def _planeKwargs(self, freq=None, tau=None, ky=None):
+        return dict(
+            freq=(complex(np.complex128(self.freq)) if freq is None
+                  else freq),
+            tau=self.tau if tau is None else tau,
+            ky=self.ky if ky is None else ky,
+            dx=self.dx, dz=self.dz, nPML=self.nPML,
+            freeSurf=tuple(bool(f) for f in self.freeSurf))
+
+    def _planesFromFields(self, c, rho, **traced):
+        return minizephyr_planes(c, rho,
+                                 **self._planeKwargs(**traced))[None, None]
+
+    def _precondPlanesFromFields(self, c, rho, **traced):
         cfg = self.solverConfig
         return minizephyr_planes(shifted_velocity(c, cfg.shift), rho,
                                  pml_cap=cfg.pml_cap,
-                                 **self._planeKwargs())[None, None]
+                                 **self._planeKwargs(**traced))[None, None]
 
 
 class MiniZephyrHD(MiniZephyr):
