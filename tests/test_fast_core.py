@@ -379,3 +379,27 @@ def test_fused_hybrid_matches_lu_small():
     gt = np.linalg.solve(A.T, g.ravel())
     assert np.linalg.norm(np.asarray(gb).ravel() - gt) \
         / np.linalg.norm(gt) < 1e-6
+
+
+def test_prep_trace_shared_across_frequencies():
+    '''
+    The Ainv preparation jit is cached class-wide with freq/tau/ky as
+    traced inputs: sibling subproblems of a distributor (one per
+    frequency) must NOT each retrace the preparation graph. Distinct
+    static plane attributes (e.g. dx) must get their own trace.
+    '''
+
+    from zephyr_tpu.backend import MiniZephyr
+    from zephyr_tpu.backend.discretization import BaseDiscretization
+
+    BaseDiscretization._rio_preps.clear()
+    base = {'c': 2500., 'rho': 1., 'nx': 40, 'nz': 48}
+    q = np.zeros((48 * 40, 1), np.complex128)
+    q[24 * 40 + 20] = 1.0
+    for freq in (80., 120.):
+        u = MiniZephyr(dict(base, freq=freq)) * q
+        assert np.isfinite(u).all()
+    assert len(BaseDiscretization._rio_preps) == 1
+    u = MiniZephyr(dict(base, freq=80., dx=2., dz=2.)) * q
+    assert np.isfinite(u).all()
+    assert len(BaseDiscretization._rio_preps) == 2
