@@ -98,3 +98,50 @@ def test_cli_invert_and_migrate(project):
     assert r.exit_code == 0, r.output
     assert not os.path.exists('demo1.vp')
     assert not os.path.exists('demo.utout')
+
+
+REF_INI = '/root/reference/notebooks/Time Comprehensive/xhlayr.ini'
+REF_VP = '/root/reference/notebooks/Time Comprehensive/xhlayr.vp'
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(REF_INI),
+                    reason='reference xhlayr fixture not mounted')
+def test_omega_job_on_reference_project(tmp_path):
+    '''
+    The reference's OWN OMEGA project (notebooks/Time Comprehensive/
+    run.py runs OmegaJob('xhlayr') against these files) modelled
+    end-to-end: ini + SEG-Y velocity in, one mid-band frequency solved
+    for all 86 sources, .utout written and read back.
+    '''
+
+    import shutil
+
+    from zephyr_tpu.middleware import FullwvDatastore
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        shutil.copy(REF_INI, 'xhlayr.ini')
+        shutil.copy(REF_VP, 'xhlayr.vp')
+        sc = FullwvDatastore('xhlayr').systemConfig
+        assert len(sc['freqs']) == 50
+        assert len(sc['geom']['src']) == 86
+        # (xhlayr ships no .src wavelet file, so there are no per-freq
+        # sterms to subset — the survey defaults them to ones.) One
+        # mid-band frequency and 8 of the 86 sources keep the test
+        # within the slow-suite budget on CPU/x64.
+        sub = {'freqs': [sc['freqs'][19]],              # 200 Hz
+               'geom': dict(sc['geom'], src=sc['geom']['src'][:8]),
+               'solverOpts': dict(tol=1e-5, maxiter=400,
+                                  mg_coarse='inv')}
+        job = OmegaJob('xhlayr', supplementalConfig=sub)
+        data = job.run()
+        assert np.isfinite(data).all()
+        assert os.path.exists('xhlayr.utout')
+        freqs, d = utoutRead('xhlayr.utout', nrec=data.shape[0])
+        assert d.shape[2] == 1
+        assert np.allclose(np.real(freqs[0]), 2 * np.pi * 200., rtol=1e-5)
+        assert np.isfinite(d).all() and np.abs(d).max() > 0
+    finally:
+        os.chdir(cwd)
