@@ -134,11 +134,6 @@ class BaseDiscretization(BaseModelDependent):
         return {'freq': np.complex128(self.freq),
                 'tau': np.float64(self.tau)}
 
-    def _staticPlaneKey(self):
-        'Hashable plane-builder attributes baked into the shared trace.'
-        return (float(self.dx), float(self.dz),
-                tuple(bool(f) for f in self.freeSurf))
-
     # shared across instances: one prepare trace per
     # (class, shape, dtype, config, static plane attributes)
     _rio_preps = {}
@@ -150,8 +145,15 @@ class BaseDiscretization(BaseModelDependent):
         built INSIDE a real-I/O jit boundary so the whole preparation
         runs on accelerators without complex host<->device transfer
         (core/realio.py). Held as a device-resident re/im pair pytree.
+
         The jitted preparation is cached class-wide with frequency-like
-        scalars as traced inputs (see ``_tracedPlaneInputs``).
+        scalars as traced inputs (see ``_tracedPlaneInputs``). The cache
+        contract is structural, not by convention: every plane-builder
+        argument the class's ``_planeKwargs`` produces is either a
+        traced input or part of the cache key, and the cached closure
+        captures only those plain static values plus the class's pure
+        builders (``_planesPure``/``_precondPlanesPure``) — never the
+        instance, so no model arrays are pinned by the cache.
         '''
         if not hasattr(self, '_Ainv'):
             from ..core.realio import realio_jit
@@ -161,15 +163,21 @@ class BaseDiscretization(BaseModelDependent):
             cfg = self.solverConfig
             traced = self._tracedPlaneInputs()
             names = tuple(traced)
+            statics = {k: v for k, v in self._planeKwargs().items()
+                       if k not in names}
             key = (type(self), self.nz, self.nx, np.dtype(cdtype).name,
-                   cfg, self._staticPlaneKey(), names)
+                   cfg, tuple(sorted(statics.items())), names)
             cache = BaseDiscretization._rio_preps
             if key not in cache:
+                build = type(self)._planesPure
+                buildP = type(self)._precondPlanesPure
+
                 def prep(c, rho, *vals):
-                    kw = dict(zip(names, vals))
+                    kw = dict(statics)
+                    kw.update(zip(names, vals))
                     return prepare_operator(
-                        self._planesFromFields(c, rho, **kw),
-                        self._precondPlanesFromFields(c, rho, **kw),
+                        build(c, rho, **kw),
+                        buildP(c, rho, cfg, **kw),
                         cfg, with_transpose=False)
 
                 cache[key] = realio_jit(prep)

@@ -60,10 +60,6 @@ class Eurus(BaseDiscretization, BaseAnisotropic):
                 'eps': np.asarray(self.eps, np.float64),
                 'delta': np.asarray(self.delta, np.float64)}
 
-    def _staticPlaneKey(self):
-        return (float(self.dx), float(self.dz), self.nPML,
-                float(self.cPML),
-                tuple(bool(f) for f in self.freeSurf))
 
     def _planeKwargs(self, freq=None, tau=None, theta=None, eps=None,
                      delta=None):
@@ -77,14 +73,23 @@ class Eurus(BaseDiscretization, BaseAnisotropic):
             dx=self.dx, dz=self.dz, nPML=self.nPML, cPML=self.cPML,
             freeSurf=tuple(bool(f) for f in self.freeSurf))
 
+    @staticmethod
+    def _planesPure(c, rho, **kw):
+        'Pure true-operator plane builder (no instance state).'
+        return eurus_planes(c, rho, **kw)
+
+    @staticmethod
+    def _precondPlanesPure(c, rho, cfg, **kw):
+        'Pure shifted-preconditioner plane builder (no instance state).'
+        return eurus_planes(shifted_velocity(c, cfg.shift), rho,
+                            pml_cap=cfg.pml_cap, **kw)
+
     def _planesFromFields(self, c, rho, **traced):
-        return eurus_planes(c, rho, **self._planeKwargs(**traced))
+        return self._planesPure(c, rho, **self._planeKwargs(**traced))
 
     def _precondPlanesFromFields(self, c, rho, **traced):
-        cfg = self.solverConfig
-        return eurus_planes(shifted_velocity(c, cfg.shift), rho,
-                            pml_cap=cfg.pml_cap,
-                            **self._planeKwargs(**traced))
+        return self._precondPlanesPure(c, rho, self.solverConfig,
+                                       **self._planeKwargs(**traced))
 
     def __mul__(self, rhs):
         '''

@@ -53,9 +53,6 @@ class MiniZephyr(BaseDiscretization):
                 'tau': np.float64(self.tau),
                 'ky': np.float64(self.ky)}
 
-    def _staticPlaneKey(self):
-        return (float(self.dx), float(self.dz), self.nPML,
-                tuple(bool(f) for f in self.freeSurf))
 
     def _planeKwargs(self, freq=None, tau=None, ky=None):
         return dict(
@@ -66,15 +63,23 @@ class MiniZephyr(BaseDiscretization):
             dx=self.dx, dz=self.dz, nPML=self.nPML,
             freeSurf=tuple(bool(f) for f in self.freeSurf))
 
+    @staticmethod
+    def _planesPure(c, rho, **kw):
+        'Pure true-operator plane builder (no instance state).'
+        return minizephyr_planes(c, rho, **kw)[None, None]
+
+    @staticmethod
+    def _precondPlanesPure(c, rho, cfg, **kw):
+        'Pure shifted-preconditioner plane builder (no instance state).'
+        return minizephyr_planes(shifted_velocity(c, cfg.shift), rho,
+                                 pml_cap=cfg.pml_cap, **kw)[None, None]
+
     def _planesFromFields(self, c, rho, **traced):
-        return minizephyr_planes(c, rho,
-                                 **self._planeKwargs(**traced))[None, None]
+        return self._planesPure(c, rho, **self._planeKwargs(**traced))
 
     def _precondPlanesFromFields(self, c, rho, **traced):
-        cfg = self.solverConfig
-        return minizephyr_planes(shifted_velocity(c, cfg.shift), rho,
-                                 pml_cap=cfg.pml_cap,
-                                 **self._planeKwargs(**traced))[None, None]
+        return self._precondPlanesPure(c, rho, self.solverConfig,
+                                       **self._planeKwargs(**traced))
 
 
 class MiniZephyrHD(MiniZephyr):

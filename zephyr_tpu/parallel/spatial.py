@@ -77,15 +77,15 @@ def halo_exchange_x(u_local, axis_name):
     return _exchange_axis(u_local, axis_name, -1)
 
 
-def halo_exchange_2d(u_local, axis_z, axis_x, width=1):
+def halo_exchange_2d(u_local, axis_z, axis_x, width=1, edge='zero'):
     '''
     Two-axis halo exchange for (z, x)-tiled grids: x columns first, then
     z rows of the x-extended block — the corner halos ride the second
     exchange automatically. Returns the block grown by 2*width per axis.
     '''
 
-    uh = _exchange_axis(u_local, axis_x, -1, width)
-    return _exchange_axis(uh, axis_z, -2, width)
+    uh = _exchange_axis(u_local, axis_x, -1, width, edge)
+    return _exchange_axis(uh, axis_z, -2, width, edge)
 
 
 def _extend_overlap(a, axis_z, axis_x, width, edge='zero'):
@@ -97,10 +97,9 @@ def _extend_overlap(a, axis_z, axis_x, width, edge='zero'):
     (see ``_exchange_axis``).
     '''
 
-    out = _exchange_axis(a, axis_x, -1, width, edge)
-    if axis_z is not None:
-        out = _exchange_axis(out, axis_z, -2, width, edge)
-    return out
+    if axis_z is None:
+        return _exchange_axis(a, axis_x, -1, width, edge)
+    return halo_exchange_2d(a, axis_z, axis_x, width, edge)
 
 
 def _crop_overlap(a, axis_z, width):
@@ -277,6 +276,17 @@ def _local_hybrid_precond(planes_local, pplanes_local, cfg,
 
     planes_local = lax.stop_gradient(planes_local)
     pplanes_local = lax.stop_gradient(pplanes_local)
+    # Overlapped slabs need room: on shards narrower than 4x the overlap
+    # the mirror band dominates the slab and RAS is measured actively
+    # harmful (96 wide / 8-way x-slabs at 16 cells/wavelength: overlap
+    # 12 stalls at 2e-3 and overlap 3 diverges, where overlap 0
+    # converges in 88 iterations) — and a larger-than-shard overlap
+    # cannot even trace (the halo exchange ships at most one shard).
+    # Fall back to plain block Schwarz on such narrow shards.
+    nzl, nxl = planes_local.shape[-2:]
+    extents = [nxl] + ([nzl] if axis_z is not None else [])
+    if any(e < 4 * overlap for e in extents):
+        overlap = 0
     interior_mask = None
     if overlap:
         planes_local = _extend_overlap(planes_local, axis_z, axis_x,
@@ -289,24 +299,20 @@ def _local_hybrid_precond(planes_local, pplanes_local, cfg,
         # slab rather than on its ring (the Dirichlet +1 rows mixed into
         # the Galerkin coarse operator are the documented two-grid
         # breaker — this masking is what makes overlapped slabs converge)
+        def closure_mask_1d(n_ext, axis_name):
+            i = jnp.arange(n_ext)
+            idx = lax.axis_index(axis_name)
+            n = lax.axis_size(axis_name)
+            m = jnp.ones((n_ext,), jnp.float32)
+            m = jnp.where((idx == 0) & (i <= overlap), 0.0, m)
+            m = jnp.where((idx == n - 1) & (i >= n_ext - 1 - overlap),
+                          0.0, m)
+            return m
+
         nzx, nxx = planes_local.shape[-2:]
-        xi = jnp.arange(nxx)
-        ix = lax.axis_index(axis_x)
-        nx_ = lax.axis_size(axis_x)
-        mx = jnp.ones((nxx,), jnp.float32)
-        mx = jnp.where((ix == 0) & (xi <= overlap), 0.0, mx)
-        mx = jnp.where((ix == nx_ - 1) & (xi >= nxx - 1 - overlap),
-                       0.0, mx)
-        if axis_z is not None:
-            zi = jnp.arange(nzx)
-            iz = lax.axis_index(axis_z)
-            nz_ = lax.axis_size(axis_z)
-            mz = jnp.ones((nzx,), jnp.float32)
-            mz = jnp.where((iz == 0) & (zi <= overlap), 0.0, mz)
-            mz = jnp.where((iz == nz_ - 1) & (zi >= nzx - 1 - overlap),
-                           0.0, mz)
-        else:
-            mz = jnp.ones((nzx,), jnp.float32)
+        mx = closure_mask_1d(nxx, axis_x)
+        mz = (closure_mask_1d(nzx, axis_z) if axis_z is not None
+              else jnp.ones((nzx,), jnp.float32))
         interior_mask = mz[:, None] * mx[None, :]
     op = prepare_operator(planes_local, pplanes_local, cfg,
                           with_transpose=False,

@@ -348,21 +348,27 @@ def build_hierarchy(planes, min_size=16, max_levels=16, coarse='lu',
     converges in ~200 iterations with alternating line smoothing).
 
     ``interior_mask`` (optional, (nz, nx) in {0, 1}) marks EXTRA rows to
-    exclude from the coarse-grid correction at the finest level, on top
-    of the boundary ring — used by the overlapped-Schwarz slabs, whose
-    Dirichlet-like closure rows sit INSIDE the slab rather than on its
-    ring. Masked rows are still smoothed (they are decoupled diagonal
-    rows the smoother solves exactly).
+    exclude from the coarse-grid correction, on top of the boundary
+    ring — used by the overlapped-Schwarz slabs, whose Dirichlet-like
+    closure rows sit INSIDE the slab rather than on its ring. The mask
+    is decimated down the hierarchy (coarse point (I, J) inherits fine
+    point (2I, 2J)) so the closure band's coarse images stay excluded
+    at EVERY level — leaving them in at level >= 1 re-mixes their
+    unit-diagonal rows into deeper Galerkin operators, the same
+    sign-mixing two-grid breaker as the ring. Masked rows are still
+    smoothed (they are decoupled diagonal rows the smoother solves
+    exactly).
     '''
 
     rdtype = jnp.real(jnp.zeros((), planes.dtype)).dtype
     levels = []
     current = planes
+    imask = interior_mask
     for lev in range(max_levels):
         nz, nx = current.shape[-2:]
         mask = _ring_mask(nz, nx, rdtype)
-        if lev == 0 and interior_mask is not None:
-            mask = mask * interior_mask.astype(rdtype)
+        if imask is not None:
+            mask = mask * imask.astype(rdtype)
         dinv = invert_block_diag(block_diag(current))
         linez = linex = None
         if smoother == 'line' and current.shape[0] > 1:
@@ -372,6 +378,9 @@ def build_hierarchy(planes, min_size=16, max_levels=16, coarse='lu',
             break
         masked = _mask_ring_planes(current, mask)
         current = _fix_empty_rows(galerkin_coarsen(masked))
+        if imask is not None:
+            imask = _strided_gather(imask, 0, 0, _coarse_extent(nz),
+                                    _coarse_extent(nx))
 
     lu, piv, cinv = None, None, None
     if coarse == 'lu':
