@@ -152,3 +152,46 @@ def test_dd_dpred_matches_multifreq_dpred():
     rel = np.linalg.norm(np.asarray(d_dd) - np.asarray(d_ref)) \
         / np.linalg.norm(np.asarray(d_ref))
     assert rel < 1e-5
+
+
+@pytest.mark.slow
+def test_dd_ras_overlap_reduces_iterations():
+    '''
+    Restricted additive Schwarz: on supra-wavelength shards an
+    overlapped slab preconditioner must (a) still match the global
+    solve and (b) converge in FEWER outer iterations than plain block
+    Schwarz (measured 159 -> 88 at 256^2 layered on a 2x2 mesh).
+    Shards below 4x the overlap fall back to overlap 0, so this test
+    uses a grid large enough to engage the overlap path.
+    '''
+
+    n = 192
+    mesh = _mesh2d(2, 2)   # 96x96 shards >= 4 * overlap
+    cl = np.zeros((n, n))
+    for i, v in enumerate([1500., 2000., 2500., 3000.]):
+        cl[i * n // 4:(i + 1) * n // 4] = v
+    c = jnp.asarray(cl).astype(jnp.complex128)
+    rho = jnp.ones((n, n))
+    freq = 1500.0 / 16.0
+    cfg = SolverConfig(tol=1e-6, maxiter=600, mg_coarse='inv',
+                       mg_min_size=16)
+    planes = minizephyr_planes(c, rho, freq, nPML=8)[None, None]
+    pplanes = minizephyr_planes(shifted_velocity(c, cfg.shift), rho, freq,
+                                nPML=8, pml_cap=cfg.pml_cap)[None, None]
+    q = np.zeros((1, n, n), dtype=np.complex128)
+    q[0, n // 2, n // 2] = 1.0
+    qj = jnp.asarray(q)
+
+    solver0 = make_dd_solver(mesh, cfg, axis_name='x', axis_z='z',
+                             overlap=0)
+    x0, it0, rr0 = solver0(planes, pplanes, qj)
+    solver8 = make_dd_solver(mesh, cfg, axis_name='x', axis_z='z',
+                             overlap=8)
+    x8, it8, rr8 = solver8(planes, pplanes, qj)
+    assert float(rr8) < 1e-6
+    assert int(it8) < int(it0), (int(it8), int(it0))
+
+    x_ref, _, _ = _reference_solve(planes, pplanes, cfg, qj)
+    rel = np.linalg.norm(np.asarray(x8) - np.asarray(x_ref)) \
+        / np.linalg.norm(np.asarray(x_ref))
+    assert rel < 1e-5
