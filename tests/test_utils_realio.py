@@ -264,3 +264,27 @@ def test_pallas_transfers_interpret_match_reference():
     refp = _prolong_ref(vc, nz, nx)
     outp = prolong_pallas_batched(vc, nz, nx, interpret=True)
     assert float(jnp.abs(outp - refp).max() / jnp.abs(refp).max()) < 1e-5
+
+
+def test_pallas_prolong_add_smooth_interpret_matches_reference():
+    'Fused upstroke kernel vs prolong + masked add + one jnp sweep.'
+    from zephyr_tpu.ops.pallas_stencil import (
+        prolong_add_smooth_pallas_batched, pallas_pas_applicable)
+    from zephyr_tpu.ops.stencil import apply_stencil
+    from zephyr_tpu.solver.multigrid import _prolong_ref
+
+    R, nz, nx = 2, 16, 256
+    mk = lambda *s: jnp.asarray((RNG.standard_normal(s)
+                                 + 1j * RNG.standard_normal(s)
+                                 ).astype(np.complex64))
+    planes, dinv = mk(9, nz, nx), mk(nz, nx)
+    b, u = mk(R, nz, nx), mk(R, nz, nx)
+    ec = mk(R, nz // 2, nx // 2)
+    mask = jnp.asarray(RNG.integers(0, 2, (nz, nx)).astype(np.float32))
+    assert pallas_pas_applicable(planes, b, ec)
+
+    u1 = u + mask * jax.vmap(lambda e: _prolong_ref(e, nz, nx))(ec)
+    ref = u1 + dinv * (b - jax.vmap(lambda x: apply_stencil(planes, x))(u1))
+    out = prolong_add_smooth_pallas_batched(planes, dinv, mask, b, u, ec,
+                                            interpret=True)
+    assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 1e-5

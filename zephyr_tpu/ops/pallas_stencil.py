@@ -947,3 +947,215 @@ def pallas_block_applicable(planes, u):
     TX = _pick_tx(nx)
     return (nz % TZ == 0 and nx % TX == 0 and nz >= 8 and nx >= 128
             and planes.dtype == jnp.complex64 and u.dtype == jnp.complex64)
+
+
+# ---------------------------------------------------------------------------
+# Fused V-cycle upstroke: u' = jacobi(u + mask * prolong(ec), b) in ONE
+# pass — prolongation (zero-interleave + separable tent), masked add of the
+# coarse correction, and the first post-smoothing sweep. Replaces three
+# kernels (prolong, axpy, sweep) and saves the intermediate iterate's two
+# extra HBM round-trips.
+# ---------------------------------------------------------------------------
+
+
+def _pas_kernel(pr_hbm, pi_hbm, dr_hbm, di_hbm, mr_hbm,
+                br_hbm, bi_hbm, ur_hbm, ui_hbm, er_hbm, ei_hbm,
+                or_ref, oi_ref,
+                p_tile, d_tile, m_tile, bu_tile, e_tile, sem_c, sem_s,
+                *, TZ, TX):
+    '''
+    Grid (nz/TZ, nx/TX, R). Fine-grid inputs padded ((1, 7), (1, 127))
+    so each (TZ+8, TX+128) window carries a 1-cell halo at [0, 0]; the
+    coarse input padded the same so its (TZ/2+8, TX/2+128) window
+    carries the 1-cell coarse halo. Coefficient windows (planes, dinv,
+    mask) are fetched once per spatial tile (r == 0); b/u/ec stream
+    double-buffered per batch step.
+    '''
+
+    iz = pl.program_id(0)
+    jx = pl.program_id(1)
+    r = pl.program_id(2)
+    nJ = pl.num_programs(1)
+    nR = pl.num_programs(2)
+    total = pl.num_programs(0) * nJ * nR
+    step = (iz * nJ + jx) * nR + r
+    slot = lax.rem(step, jnp.int32(2))
+    nslot = 1 - slot
+    TZh, TXh = TZ // 2, TX // 2
+
+    @pl.when(r == 0)
+    def _():
+        cp0 = pltpu.make_async_copy(
+            pr_hbm.at[:, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            p_tile.at[0], sem_c.at[0])
+        cp1 = pltpu.make_async_copy(
+            pi_hbm.at[:, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            p_tile.at[1], sem_c.at[1])
+        cd0 = pltpu.make_async_copy(
+            dr_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            d_tile.at[0], sem_c.at[2])
+        cd1 = pltpu.make_async_copy(
+            di_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            d_tile.at[1], sem_c.at[3])
+        cm = pltpu.make_async_copy(
+            mr_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            m_tile, sem_c.at[4])
+        cp0.start(); cp1.start(); cd0.start(); cd1.start(); cm.start()
+        cp0.wait(); cp1.wait(); cd0.wait(); cd1.wait(); cm.wait()
+
+    fine = (br_hbm, bi_hbm, ur_hbm, ui_hbm)
+    coarse = (er_hbm, ei_hbm)
+
+    def _start(rr_i, zz, xx, s):
+        for a in range(4):
+            pltpu.make_async_copy(
+                fine[a].at[rr_i, pl.ds(zz * TZ, TZ + 8),
+                           pl.ds(xx * TX, TX + 128)],
+                bu_tile.at[s, a], sem_s.at[s, a]).start()
+        for a in range(2):
+            pltpu.make_async_copy(
+                coarse[a].at[rr_i, pl.ds(zz * TZh, TZh + 8),
+                             pl.ds(xx * TXh, TXh + 128)],
+                e_tile.at[s, a], sem_s.at[s, 4 + a]).start()
+
+    @pl.when(step == 0)
+    def _():
+        _start(r, iz, jx, 0)
+
+    nstep = step + 1
+
+    @pl.when(nstep < total)
+    def _():
+        nr = lax.rem(nstep, jnp.int32(nR))
+        t1 = nstep // nR
+        njx = lax.rem(t1, jnp.int32(nJ))
+        niz = t1 // nJ
+        _start(nr, niz, njx, nslot)
+
+    for a in range(4):
+        pltpu.make_async_copy(
+            fine[a].at[r, pl.ds(iz * TZ, TZ + 8),
+                       pl.ds(jx * TX, TX + 128)],
+            bu_tile.at[slot, a], sem_s.at[slot, a]).wait()
+    for a in range(2):
+        pltpu.make_async_copy(
+            coarse[a].at[r, pl.ds(iz * TZh, TZh + 8),
+                         pl.ds(jx * TXh, TXh + 128)],
+            e_tile.at[slot, a], sem_s.at[slot, 4 + a]).wait()
+
+    pr = p_tile[0]
+    pi = p_tile[1]
+    dr = d_tile[0]
+    di = d_tile[1]
+    br = bu_tile[slot, 0]
+    bi = bu_tile[slot, 1]
+    ur = bu_tile[slot, 2]
+    ui = bu_tile[slot, 3]
+
+    # prolong the (TZh+2, TXh+2) coarse halo block to fine (TZ+2, TX+2):
+    # zero-interleave, then separable [0.5, 1, 0.5] tent; interleaved
+    # index k maps to fine row (iz*TZ - 1) + (k - 1)
+    def _prolong_part(e_sub):
+        SZc, SXc = TZh + 2, TXh + 2
+        zx = jnp.stack([e_sub, jnp.zeros_like(e_sub)], axis=-1)
+        zx = zx.reshape(SZc, 2 * SXc)
+        zz = jnp.stack([zx, jnp.zeros_like(zx)], axis=-2)
+        I = zz.reshape(2 * SZc, 2 * SXc)                  # (TZ+4, TX+4)
+        A = I[1:TZ + 3, :] + 0.5 * (I[0:TZ + 2, :] + I[2:TZ + 4, :])
+        return (A[:, 1:TX + 3]
+                + 0.5 * (A[:, 0:TX + 2] + A[:, 2:TX + 4]))  # (TZ+2, TX+2)
+
+    SZ, SX = TZ + 2, TX + 2
+    p_re = _prolong_part(e_tile[slot, 0, :TZh + 2, :TXh + 2])
+    p_im = _prolong_part(e_tile[slot, 1, :TZh + 2, :TXh + 2])
+    m1 = m_tile[:SZ, :SX]
+    u1r = ur[:SZ, :SX] + m1 * p_re
+    u1i = ui[:SZ, :SX] + m1 * p_im
+
+    # one damped-Jacobi sweep on the output tile; u1's [0, 0] is fine
+    # row/col (tile origin - 1)
+    acc_r = jnp.zeros((TZ, TX), jnp.float32)
+    acc_i = jnp.zeros((TZ, TX), jnp.float32)
+    for k, (dz, dx) in enumerate(OFFSETS):
+        wr = u1r[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
+        wi = u1i[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
+        kr = pr[k, 1:1 + TZ, 1:1 + TX]
+        ki = pi[k, 1:1 + TZ, 1:1 + TX]
+        acc_r += kr * wr - ki * wi
+        acc_i += kr * wi + ki * wr
+    rr1 = br[1:1 + TZ, 1:1 + TX] - acc_r
+    ri1 = bi[1:1 + TZ, 1:1 + TX] - acc_i
+    dr1 = dr[1:1 + TZ, 1:1 + TX]
+    di1 = di[1:1 + TZ, 1:1 + TX]
+    or_ref[0] = u1r[1:1 + TZ, 1:1 + TX] + dr1 * rr1 - di1 * ri1
+    oi_ref[0] = u1i[1:1 + TZ, 1:1 + TX] + dr1 * ri1 + di1 * rr1
+
+
+@partial(jax.jit, static_argnames=('interpret',))
+def prolong_add_smooth_pallas_batched(planes, dinv_eff, mask, b, u, ec,
+                                      interpret=False):
+    '''
+    Fused V-cycle upstroke for a (R, nz, nx) complex64 batch:
+    u' = one damped-Jacobi sweep of (u + mask * prolong(ec)) against b.
+    ec is the (R, nz/2, nx/2) coarse correction. No AD rules.
+    '''
+
+    nz, nx = b.shape[-2:]
+    TZ = _pick_tz(nz, 64)
+    TX = _pick_tx(nx)
+
+    pad2 = ((0, 0), (1, 7), (1, 127))
+    pr = jnp.pad(jnp.real(planes).astype(jnp.float32),
+                 ((0, 0), (1, 7), (1, 127)))
+    pi = jnp.pad(jnp.imag(planes).astype(jnp.float32),
+                 ((0, 0), (1, 7), (1, 127)))
+    dr = jnp.pad(jnp.real(dinv_eff).astype(jnp.float32), ((1, 7), (1, 127)))
+    di = jnp.pad(jnp.imag(dinv_eff).astype(jnp.float32), ((1, 7), (1, 127)))
+    mr = jnp.pad(jnp.real(mask).astype(jnp.float32), ((1, 7), (1, 127)))
+    bp = jnp.pad(b, pad2)
+    up = jnp.pad(u, pad2)
+    ep = jnp.pad(ec, pad2)
+
+    R = b.shape[0]
+    grid = (nz // TZ, nx // TX, R)
+    kernel = partial(_pas_kernel, TZ=TZ, TX=TX)
+    out_r, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 11,
+        out_specs=[
+            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
+                         memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((R, nz, nx), jnp.float32)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, 4, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, 2, TZ // 2 + 8, TX // 2 + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((2, 6)),
+        ],
+        interpret=interpret,
+    )(pr, pi, dr, di, mr,
+      jnp.real(bp).astype(jnp.float32), jnp.imag(bp).astype(jnp.float32),
+      jnp.real(up).astype(jnp.float32), jnp.imag(up).astype(jnp.float32),
+      jnp.real(ep).astype(jnp.float32), jnp.imag(ep).astype(jnp.float32))
+    return lax.complex(out_r, out_i)
+
+
+def pallas_pas_applicable(planes, b, ec):
+    'Whether the fused upstroke kernel supports these shapes/dtypes.'
+
+    if planes.ndim != 3 or b.ndim != 3 or ec.ndim != 3:
+        return False
+    nz, nx = b.shape[-2:]
+    if ec.shape[-2:] != (nz // 2, nx // 2) or nz % 2 or nx % 2:
+        return False
+    TZ = _pick_tz(nz, 64)
+    TX = _pick_tx(nx)
+    # the coarse windows start at (iz*TZ/2, jx*TX/2): Mosaic needs
+    # (8, 128)-aligned DMA starts, so TZ/2 and TX/2 must stay aligned
+    return (nz % TZ == 0 and nx % TX == 0 and TZ % 16 == 0
+            and TX % 256 == 0 and nz >= 16 and nx >= 256
+            and planes.dtype == jnp.complex64 and b.dtype == jnp.complex64)

@@ -589,3 +589,61 @@ def presmooth2_residual_fast(planes, dinv_eff, mask, b):
     '''
 
     return _ps2r_scalar_fast(planes, dinv_eff, mask, b)
+
+
+def _pas_ref(p, d, m, bb, uu, ec):
+    'Reference upstroke: one sweep of (u + mask * prolong(ec)) vs b.'
+
+    from ..solver.multigrid import _prolong_ref
+    nz, nx = bb.shape[-2:]
+    u1 = uu + m * _prolong_ref(ec, nz, nx)
+    return u1 + d * (bb - apply_stencil(p, u1))
+
+
+@jax.custom_batching.custom_vmap
+def _pas_batched_fast(planes, dinv_eff, mask, b, u, ec):
+    'Batched fused upstroke; further batching falls back to jnp.'
+
+    if _pallas_wanted():
+        from .pallas_stencil import (prolong_add_smooth_pallas_batched,
+                                     pallas_pas_applicable)
+        if pallas_pas_applicable(planes, b, ec):
+            return prolong_add_smooth_pallas_batched(planes, dinv_eff,
+                                                     mask, b, u, ec)
+    return _pas_ref(planes, dinv_eff, mask, b, u, ec)
+
+
+@_pas_batched_fast.def_vmap
+def _pas_batched_fast_vmap(axis_size, in_batched, planes, dinv_eff,
+                           mask, b, u, ec):
+    ax = lambda flag: 0 if flag else None
+    fn = jax.vmap(_pas_ref, in_axes=tuple(ax(f) for f in in_batched))
+    return fn(planes, dinv_eff, mask, b, u, ec), True
+
+
+@jax.custom_batching.custom_vmap
+def _pas_scalar_fast(planes, dinv_eff, mask, b, u, ec):
+    return _pas_ref(planes, dinv_eff, mask, b, u, ec)
+
+
+@_pas_scalar_fast.def_vmap
+def _pas_scalar_fast_vmap(axis_size, in_batched, planes, dinv_eff,
+                          mask, b, u, ec):
+    planes_b, dinv_b, mask_b, b_b, u_b, ec_b = in_batched
+    if (b_b and u_b and ec_b and not planes_b and not dinv_b
+            and not mask_b):
+        return _pas_batched_fast(planes, dinv_eff, mask, b, u, ec), True
+    ax = lambda flag: 0 if flag else None
+    fn = jax.vmap(_pas_ref, in_axes=tuple(ax(f) for f in in_batched))
+    return fn(planes, dinv_eff, mask, b, u, ec), True
+
+
+def prolong_add_smooth_fast(planes, dinv_eff, mask, b, u, ec):
+    '''
+    The V-cycle upstroke for a scalar (B=1) operator in one fused pass
+    (on TPU when vmapped): one damped-Jacobi sweep of
+    (u + mask * prolong(ec)) against b. No AD rules —
+    preconditioner-internal only.
+    '''
+
+    return _pas_scalar_fast(planes, dinv_eff, mask, b, u, ec)

@@ -436,10 +436,9 @@ def _make_precond(op, config, transpose=False):
             # prolong, fine post-smooth. Algebraically the same family
             # as 'mult' with the duplicate fine<->half transfer passes
             # and the fine-grid correction matvec removed.
-            from .multigrid import (_smooth, restrict, prolong,
-                                    presmooth_residual)
+            from .multigrid import (restrict, presmooth_residual,
+                                    prolong_add_smooth)
             lvl0 = hier.levels[0]
-            mask = lvl0.mask
             cpl = lax.stop_gradient(op.cplanes)
 
             def M0(r):
@@ -452,8 +451,8 @@ def _make_precond(op, config, transpose=False):
                                   nu1=config.mg_nu1, nu2=config.mg_nu2,
                                   level=1,
                                   coarse_iters=config.mg_coarse_iters)
-                u = u + mask * prolong(xc, nzf, nxf)
-                return _smooth(lvl0, u, r, config.mg_omega, config.mg_nu2)
+                return prolong_add_smooth(lvl0, u, r, xc,
+                                          config.mg_omega, config.mg_nu2)
 
         else:
             if spec_shape == (nzf, nxf):

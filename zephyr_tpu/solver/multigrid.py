@@ -514,6 +514,36 @@ def presmooth_residual(lvl, b, omega, nu1):
     return u, lvl.mask * r
 
 
+def prolong_add_smooth(lvl, u, b, ec, omega, nu2):
+    '''
+    The V-cycle upstroke: u + mask * prolong(ec), then nu2 damped
+    post-smoothing sweeps. For scalar operators with nu2 >= 1 the
+    prolongation, masked add and FIRST sweep run as one fused Pallas
+    pass on TPU (separate kernels would round-trip the corrected
+    iterate and the prolonged field through HBM twice).
+    '''
+
+    nz, nx = b.shape[-2:]
+    B = lvl.planes.shape[0]
+    if B == 1 and nu2 >= 1 and lvl.linez is None:
+        from ..ops.stencil import (prolong_add_smooth_fast,
+                                   jacobi_sweep_fast, jacobi_sweep2_fast)
+        dinv_eff = omega * lvl.dinv[0, 0]
+        planes00 = lvl.planes[0, 0]
+        bb = b[..., 0, :, :]
+        u0 = prolong_add_smooth_fast(planes00, dinv_eff, lvl.mask, bb,
+                                     u[..., 0, :, :], ec[..., 0, :, :])
+        remaining = nu2 - 1
+        while remaining >= 2:
+            u0 = jacobi_sweep2_fast(planes00, dinv_eff, bb, u0)
+            remaining -= 2
+        if remaining:
+            u0 = jacobi_sweep_fast(planes00, dinv_eff, bb, u0)
+        return u0[..., None, :, :]
+    u = u + lvl.mask * prolong(ec, nz, nx)
+    return _smooth(lvl, u, b, omega, nu2)
+
+
 def v_cycle(hier, b, omega=0.6, nu1=2, nu2=2, level=0, coarse_iters=None):
     '''
     One multigrid V-cycle for the (shifted) operator; returns an
@@ -528,10 +558,7 @@ def v_cycle(hier, b, omega=0.6, nu1=2, nu2=2, level=0, coarse_iters=None):
     u, rm = presmooth_residual(lvl, b, omega, nu1)
     rc = restrict(rm)
     ec = v_cycle(hier, rc, omega, nu1, nu2, level + 1, coarse_iters)
-    nz, nx = b.shape[-2:]
-    u = u + lvl.mask * prolong(ec, nz, nx)
-    u = _smooth(lvl, u, b, omega, nu2)
-    return u
+    return prolong_add_smooth(lvl, u, b, ec, omega, nu2)
 
 
 def transpose_hierarchy(hier):
