@@ -288,3 +288,27 @@ def test_pallas_prolong_add_smooth_interpret_matches_reference():
     out = prolong_add_smooth_pallas_batched(planes, dinv, mask, b, u, ec,
                                             interpret=True)
     assert float(jnp.abs(out - ref).max() / jnp.abs(ref).max()) < 1e-5
+
+
+def test_pallas_presmooth_restrict_interpret_matches_reference():
+    'Fused downstroke+restrict kernel vs jnp sweeps + restriction.'
+    from zephyr_tpu.ops.pallas_stencil import (
+        presmooth2_restrict_pallas_batched, pallas_ps2rr_applicable)
+    from zephyr_tpu.ops.stencil import _ps2r_ref
+    from zephyr_tpu.solver.multigrid import _restrict_ref
+
+    R, nz, nx = 2, 16, 256
+    mk = lambda *s: jnp.asarray((RNG.standard_normal(s)
+                                 + 1j * RNG.standard_normal(s)
+                                 ).astype(np.complex64))
+    planes, dinv, b = mk(9, nz, nx), mk(nz, nx), mk(R, nz, nx)
+    mask = jnp.asarray(RNG.integers(0, 2, (nz, nx)).astype(np.float32))
+    assert pallas_ps2rr_applicable(planes, b)
+
+    u_ref, resm_ref = jax.vmap(
+        lambda x: _ps2r_ref(planes, dinv, mask, x))(b)
+    rc_ref = _restrict_ref(resm_ref)
+    u, rc = presmooth2_restrict_pallas_batched(planes, dinv, mask, b,
+                                               interpret=True)
+    assert float(jnp.abs(u - u_ref).max() / jnp.abs(u_ref).max()) < 1e-5
+    assert float(jnp.abs(rc - rc_ref).max() / jnp.abs(rc_ref).max()) < 1e-5

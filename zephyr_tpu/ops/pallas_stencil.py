@@ -1159,3 +1159,245 @@ def pallas_pas_applicable(planes, b, ec):
     return (nz % TZ == 0 and nx % TX == 0 and TZ % 16 == 0
             and TX % 256 == 0 and nz >= 16 and nx >= 256
             and planes.dtype == jnp.complex64 and b.dtype == jnp.complex64)
+
+
+# ---------------------------------------------------------------------------
+# Fused downstroke WITH restriction: two from-zero damped-Jacobi sweeps,
+# the masked residual on a halo-1 block, and the full-weighting
+# restriction of that residual (as banded MXU matmuls) — the V-cycle's
+# complete fine-level downstroke INCLUDING the transfer, in one pass.
+# Replaces presmooth+residual kernel + restrict kernel and saves the
+# residual's HBM round-trip.
+# ---------------------------------------------------------------------------
+
+
+def _restrict_resm_mats(TZ, TX):
+    'Banded tent-decimation matrices for a (TZ+2, TX+2) halo-1 window.'
+
+    W = (0.5, 1.0, 0.5)
+    TZc, TXc = TZ // 2, TX // 2
+    Rz = np.zeros((TZc, TZ + 2), np.float32)
+    for I in range(TZc):
+        for a in (-1, 0, 1):
+            Rz[I, 2 * I + a + 1] = 0.5 * W[a + 1]
+    RxT = np.zeros((TX + 2, TXc), np.float32)
+    for J in range(TXc):
+        for b in (-1, 0, 1):
+            RxT[2 * J + b + 1, J] = 0.5 * W[b + 1]
+    return Rz, RxT
+
+
+def _ps2rr_kernel(rz_ref, rxT_ref, pr_hbm, pi_hbm, dr_hbm, di_hbm, mr_hbm,
+                  br_hbm, bi_hbm,
+                  ur_ref, ui_ref, cr_ref, ci_ref,
+                  p_tile, d_tile, m_tile, bu_tile, sem_p, sem_bu,
+                  *, TZ, TX):
+    '''
+    Grid (nz/TZ, nx/TX, R). All fine inputs padded ((3, 5), (3, 125)) so
+    each (TZ+8, TX+128) window carries a >= 3-cell halo. u1 = D b on the
+    halo-3 block, u2 = u1 + D (b - A u1) on the halo-2 block,
+    resm = mask * (b - A u2) on the halo-1 block, rc = Rz resm Rx^T
+    (full-weighting restriction) on the (TZ/2, TX/2) coarse tile.
+    '''
+
+    iz = pl.program_id(0)
+    jx = pl.program_id(1)
+    r = pl.program_id(2)
+    nJ = pl.num_programs(1)
+    nR = pl.num_programs(2)
+    total = pl.num_programs(0) * nJ * nR
+    step = (iz * nJ + jx) * nR + r
+    slot = lax.rem(step, jnp.int32(2))
+    nslot = 1 - slot
+
+    @pl.when(r == 0)
+    def _():
+        cp0 = pltpu.make_async_copy(
+            pr_hbm.at[:, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            p_tile.at[0], sem_p.at[0])
+        cp1 = pltpu.make_async_copy(
+            pi_hbm.at[:, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            p_tile.at[1], sem_p.at[1])
+        cd0 = pltpu.make_async_copy(
+            dr_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            d_tile.at[0], sem_p.at[2])
+        cd1 = pltpu.make_async_copy(
+            di_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            d_tile.at[1], sem_p.at[3])
+        cm = pltpu.make_async_copy(
+            mr_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            m_tile, sem_p.at[4])
+        cp0.start(); cp1.start(); cd0.start(); cd1.start(); cm.start()
+        cp0.wait(); cp1.wait(); cd0.wait(); cd1.wait(); cm.wait()
+
+    hbm = (br_hbm, bi_hbm)
+
+    def _start(rr_i, zz, xx, s):
+        for a in range(2):
+            pltpu.make_async_copy(
+                hbm[a].at[rr_i, pl.ds(zz * TZ, TZ + 8),
+                          pl.ds(xx * TX, TX + 128)],
+                bu_tile.at[s, a], sem_bu.at[s, a]).start()
+
+    @pl.when(step == 0)
+    def _():
+        _start(r, iz, jx, 0)
+
+    nstep = step + 1
+
+    @pl.when(nstep < total)
+    def _():
+        nr = lax.rem(nstep, jnp.int32(nR))
+        t1 = nstep // nR
+        njx = lax.rem(t1, jnp.int32(nJ))
+        niz = t1 // nJ
+        _start(nr, niz, njx, nslot)
+
+    for a in range(2):
+        pltpu.make_async_copy(
+            hbm[a].at[r, pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            bu_tile.at[slot, a], sem_bu.at[slot, a]).wait()
+
+    pr = p_tile[0]
+    pi = p_tile[1]
+    dr = d_tile[0]
+    di = d_tile[1]
+    br = bu_tile[slot, 0]
+    bi = bu_tile[slot, 1]
+
+    # sweep 1 from zero on the halo-3 block (TZ+6, TX+6); [0, 0] is
+    # fine (tile origin - 3)
+    SZ1, SX1 = TZ + 6, TX + 6
+    u1r = (dr[:SZ1, :SX1] * br[:SZ1, :SX1]
+           - di[:SZ1, :SX1] * bi[:SZ1, :SX1])
+    u1i = (dr[:SZ1, :SX1] * bi[:SZ1, :SX1]
+           + di[:SZ1, :SX1] * br[:SZ1, :SX1])
+
+    # sweep 2 on the halo-2 block (TZ+4, TX+4); [0, 0] = window [1, 1]
+    SZ2, SX2 = TZ + 4, TX + 4
+    a1_r = jnp.zeros((SZ2, SX2), jnp.float32)
+    a1_i = jnp.zeros((SZ2, SX2), jnp.float32)
+    for k, (dz, dx) in enumerate(OFFSETS):
+        wr = u1r[1 + dz:1 + dz + SZ2, 1 + dx:1 + dx + SX2]
+        wi = u1i[1 + dz:1 + dz + SZ2, 1 + dx:1 + dx + SX2]
+        kr = pr[k, 1:1 + SZ2, 1:1 + SX2]
+        ki = pi[k, 1:1 + SZ2, 1:1 + SX2]
+        a1_r += kr * wr - ki * wi
+        a1_i += kr * wi + ki * wr
+    rr1 = br[1:1 + SZ2, 1:1 + SX2] - a1_r
+    ri1 = bi[1:1 + SZ2, 1:1 + SX2] - a1_i
+    u2r = u1r[1:1 + SZ2, 1:1 + SX2] \
+        + dr[1:1 + SZ2, 1:1 + SX2] * rr1 - di[1:1 + SZ2, 1:1 + SX2] * ri1
+    u2i = u1i[1:1 + SZ2, 1:1 + SX2] \
+        + dr[1:1 + SZ2, 1:1 + SX2] * ri1 + di[1:1 + SZ2, 1:1 + SX2] * rr1
+
+    # masked residual on the halo-1 block (TZ+2, TX+2); u2's [0, 0] is
+    # window [1, 1]
+    SZ3, SX3 = TZ + 2, TX + 2
+    a2_r = jnp.zeros((SZ3, SX3), jnp.float32)
+    a2_i = jnp.zeros((SZ3, SX3), jnp.float32)
+    for k, (dz, dx) in enumerate(OFFSETS):
+        wr = u2r[1 + dz:1 + dz + SZ3, 1 + dx:1 + dx + SX3]
+        wi = u2i[1 + dz:1 + dz + SZ3, 1 + dx:1 + dx + SX3]
+        kr = pr[k, 2:2 + SZ3, 2:2 + SX3]
+        ki = pi[k, 2:2 + SZ3, 2:2 + SX3]
+        a2_r += kr * wr - ki * wi
+        a2_i += kr * wi + ki * wr
+    m3 = m_tile[2:2 + SZ3, 2:2 + SX3]
+    resm_r = m3 * (br[2:2 + SZ3, 2:2 + SX3] - a2_r)
+    resm_i = m3 * (bi[2:2 + SZ3, 2:2 + SX3] - a2_i)
+
+    ur_ref[0] = u2r[2:2 + TZ, 2:2 + TX]
+    ui_ref[0] = u2i[2:2 + TZ, 2:2 + TX]
+
+    rz = rz_ref[...]
+    rxT = rxT_ref[...]
+    for resm, out in ((resm_r, cr_ref), (resm_i, ci_ref)):
+        t = lax.dot(resm, rxT, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)
+        out[0] = lax.dot(rz, t, preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+
+
+@partial(jax.jit, static_argnames=('interpret',))
+def presmooth2_restrict_pallas_batched(planes, dinv_eff, mask, b,
+                                       interpret=False):
+    '''
+    The V-cycle's complete fine-level downstroke (two from-zero sweeps,
+    masked residual, full-weighting restriction) for a (R, nz, nx)
+    complex64 batch, in one kernel. Returns (u2 (R, nz, nx),
+    rc (R, nz/2, nx/2)). No AD rules.
+    '''
+
+    nz, nx = b.shape[-2:]
+    TZ = _pick_tz(nz, 64)
+    TX = _pick_tx(nx)
+    TZc, TXc = TZ // 2, TX // 2
+
+    pr = jnp.pad(jnp.real(planes).astype(jnp.float32),
+                 ((0, 0), (3, 5), (3, 125)))
+    pi = jnp.pad(jnp.imag(planes).astype(jnp.float32),
+                 ((0, 0), (3, 5), (3, 125)))
+    dr = jnp.pad(jnp.real(dinv_eff).astype(jnp.float32), ((3, 5), (3, 125)))
+    di = jnp.pad(jnp.imag(dinv_eff).astype(jnp.float32), ((3, 5), (3, 125)))
+    mr = jnp.pad(jnp.real(mask).astype(jnp.float32), ((3, 5), (3, 125)))
+    bp = jnp.pad(b, ((0, 0), (3, 5), (3, 125)))
+    br = jnp.real(bp).astype(jnp.float32)
+    bi = jnp.imag(bp).astype(jnp.float32)
+    Rz, RxT = _restrict_resm_mats(TZ, TX)
+
+    R = b.shape[0]
+    grid = (nz // TZ, nx // TX, R)
+    kernel = partial(_ps2rr_kernel, TZ=TZ, TX=TX)
+    u2r, u2i, rcr, rci = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(Rz.shape, lambda i, j, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(RxT.shape, lambda i, j, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * 7,
+        out_specs=[
+            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TZc, TXc), lambda i, j, r: (r, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TZc, TXc), lambda i, j, r: (r, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, nz, nx), jnp.float32),
+            jax.ShapeDtypeStruct((R, nz, nx), jnp.float32),
+            jax.ShapeDtypeStruct((R, nz // 2, nx // 2), jnp.float32),
+            jax.ShapeDtypeStruct((R, nz // 2, nx // 2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, 2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(Rz), jnp.asarray(RxT), pr, pi, dr, di, mr, br, bi)
+    return lax.complex(u2r, u2i), lax.complex(rcr, rci)
+
+
+def pallas_ps2rr_applicable(planes, b):
+    'Whether the fused downstroke+restrict kernel supports these shapes.'
+
+    if planes.ndim != 3 or b.ndim != 3:
+        return False
+    nz, nx = b.shape[-2:]
+    if nz % 2 or nx % 2:
+        return False
+    TZ = _pick_tz(nz, 64)
+    TX = _pick_tx(nx)
+    # coarse output tiles (TZ/2, TX/2) must stay (8, 128)-aligned
+    return (nz % TZ == 0 and nx % TX == 0 and TZ % 16 == 0
+            and TX % 256 == 0 and nz >= 16 and nx >= 256
+            and planes.dtype == jnp.complex64 and b.dtype == jnp.complex64)

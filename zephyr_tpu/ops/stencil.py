@@ -647,3 +647,59 @@ def prolong_add_smooth_fast(planes, dinv_eff, mask, b, u, ec):
     '''
 
     return _pas_scalar_fast(planes, dinv_eff, mask, b, u, ec)
+
+
+def _ps2rr_ref(p, d, m, bb):
+    'Reference: downstroke (two sweeps + masked residual) + restriction.'
+
+    from ..solver.multigrid import _restrict_ref
+    u2, resm = _ps2r_ref(p, d, m, bb)
+    return u2, _restrict_ref(resm)
+
+
+@jax.custom_batching.custom_vmap
+def _ps2rr_batched_fast(planes, dinv_eff, mask, b):
+    'Batched fused downstroke+restrict; further batching falls back.'
+
+    if _pallas_wanted():
+        from .pallas_stencil import (presmooth2_restrict_pallas_batched,
+                                     pallas_ps2rr_applicable)
+        if pallas_ps2rr_applicable(planes, b):
+            return presmooth2_restrict_pallas_batched(planes, dinv_eff,
+                                                      mask, b)
+    return _ps2rr_ref(planes, dinv_eff, mask, b)
+
+
+@_ps2rr_batched_fast.def_vmap
+def _ps2rr_batched_fast_vmap(axis_size, in_batched, planes, dinv_eff,
+                             mask, b):
+    ax = lambda flag: 0 if flag else None
+    fn = jax.vmap(_ps2rr_ref, in_axes=tuple(ax(f) for f in in_batched))
+    return fn(planes, dinv_eff, mask, b), (True, True)
+
+
+@jax.custom_batching.custom_vmap
+def _ps2rr_scalar_fast(planes, dinv_eff, mask, b):
+    return _ps2rr_ref(planes, dinv_eff, mask, b)
+
+
+@_ps2rr_scalar_fast.def_vmap
+def _ps2rr_scalar_fast_vmap(axis_size, in_batched, planes, dinv_eff,
+                            mask, b):
+    planes_b, dinv_b, mask_b, b_b = in_batched
+    if b_b and not planes_b and not dinv_b and not mask_b:
+        return _ps2rr_batched_fast(planes, dinv_eff, mask, b), (True, True)
+    ax = lambda flag: 0 if flag else None
+    fn = jax.vmap(_ps2rr_ref, in_axes=tuple(ax(f) for f in in_batched))
+    return fn(planes, dinv_eff, mask, b), (True, True)
+
+
+def presmooth2_restrict_fast(planes, dinv_eff, mask, b):
+    '''
+    The complete V-cycle fine-level downstroke INCLUDING the transfer
+    for a scalar (B=1) operator in one fused pass (on TPU when vmapped):
+    u2 = two damped-Jacobi sweeps from zero, rc = restrict(mask *
+    (b - A u2)). Returns (u2, rc). No AD rules.
+    '''
+
+    return _ps2rr_scalar_fast(planes, dinv_eff, mask, b)

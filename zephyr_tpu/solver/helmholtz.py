@@ -436,15 +436,13 @@ def _make_precond(op, config, transpose=False):
             # prolong, fine post-smooth. Algebraically the same family
             # as 'mult' with the duplicate fine<->half transfer passes
             # and the fine-grid correction matvec removed.
-            from .multigrid import (restrict, presmooth_residual,
-                                    prolong_add_smooth)
+            from .multigrid import presmooth_restrict, prolong_add_smooth
             lvl0 = hier.levels[0]
             cpl = lax.stop_gradient(op.cplanes)
 
             def M0(r):
-                u, rm = presmooth_residual(lvl0, r, config.mg_omega,
+                u, rc = presmooth_restrict(lvl0, r, config.mg_omega,
                                            config.mg_nu1)
-                rc = restrict(rm)
                 xc = P0(rc)
                 rc2 = rc - apply_block_stencil_fast(cpl, xc)
                 xc = xc + v_cycle(hier, rc2, omega=config.mg_omega,

@@ -514,6 +514,27 @@ def presmooth_residual(lvl, b, omega, nu1):
     return u, lvl.mask * r
 
 
+def presmooth_restrict(lvl, b, omega, nu1):
+    '''
+    The complete downstroke INCLUDING the transfer: (u, restrict(resm)).
+    For scalar operators at nu1=2 the sweeps, masked residual and
+    full-weighting restriction run as ONE fused Pallas pass on TPU (the
+    restriction rides the kernel as banded MXU matmuls on the halo-1
+    residual block, saving the residual's HBM round-trip and a kernel
+    launch).
+    '''
+
+    B = lvl.planes.shape[0]
+    if B == 1 and nu1 == 2:
+        from ..ops.stencil import presmooth2_restrict_fast
+        u0, rc = presmooth2_restrict_fast(
+            lvl.planes[0, 0], omega * lvl.dinv[0, 0], lvl.mask,
+            b[..., 0, :, :])
+        return u0[..., None, :, :], rc[..., None, :, :]
+    u, rm = presmooth_residual(lvl, b, omega, nu1)
+    return u, restrict(rm)
+
+
 def prolong_add_smooth(lvl, u, b, ec, omega, nu2):
     '''
     The V-cycle upstroke: u + mask * prolong(ec), then nu2 damped
@@ -555,8 +576,7 @@ def v_cycle(hier, b, omega=0.6, nu1=2, nu2=2, level=0, coarse_iters=None):
     if level == len(hier.levels) - 1:
         return _coarse_solve(hier, b, coarse_iters)
 
-    u, rm = presmooth_residual(lvl, b, omega, nu1)
-    rc = restrict(rm)
+    u, rc = presmooth_restrict(lvl, b, omega, nu1)
     ec = v_cycle(hier, rc, omega, nu1, nu2, level + 1, coarse_iters)
     return prolong_add_smooth(lvl, u, b, ec, omega, nu2)
 
