@@ -141,6 +141,38 @@ def test_misfit_gradient_finite_difference():
     assert abs(fd - pred) / abs(fd) < 1e-3
 
 
+def test_precision_aware_tolerance_shared():
+    '''
+    The precision-aware default tolerance (complex64 -> 1e-5) is applied
+    by ONE helper used by both the backend (discretization.solverConfig)
+    and the middleware (problem.solverConfig) — round 2 fixed only the
+    backend path; an unconfigured complex64 middleware Jvec would chase
+    tol=1e-7 below f32 resolution for maxiter iterations.
+    '''
+
+    import jax
+    from zephyr_tpu.solver.helmholtz import resolve_solver_config
+    from zephyr_tpu.backend.minizephyr import MiniZephyr as MZ
+
+    problem, _ = _paired(solverOpts={})
+    disc = MZ({'nx': 8, 'nz': 8, 'c': 2000., 'freq': 100.})
+
+    # x64 on (test default): full double-precision target everywhere
+    assert resolve_solver_config({}).tol == 1e-7
+    assert problem.solverConfig.tol == 1e-7
+    assert disc.solverConfig.tol == 1e-7
+
+    try:
+        jax.config.update('jax_enable_x64', False)
+        assert resolve_solver_config({}).tol == 1e-5
+        assert problem.solverConfig.tol == 1e-5
+        assert disc.solverConfig.tol == 1e-5
+        # an explicit user tol always wins
+        assert resolve_solver_config({'tol': 1e-8}).tol == 1e-8
+    finally:
+        jax.config.update('jax_enable_x64', True)
+
+
 @pytest.mark.slow
 def test_visco_dispersion_changes_data():
     p1, s1 = _paired(Helm2DViscoProblem)

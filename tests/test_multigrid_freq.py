@@ -79,6 +79,84 @@ def test_multigrid_dpred_approximates_uniform():
         assert rel < 0.35, 'freq %d deviates %.3f' % (f, rel)
 
 
+def _paired_mg(**kw):
+    sc = _config(**kw)
+    p = Helm2DViscoMultiGridProblem(sc)
+    s = Helm2DMultiGridSurvey(sc)
+    p.pair(s)
+    return p, s
+
+
+def test_multigrid_jvec_jtvec_dot_product():
+    '''
+    Exact adjoint identity Re<w, J v> == <J^T w, v> for the MultiGrid
+    problem: Jvec/Jtvec must route through the per-frequency scaled
+    grids (the reference composes them through the survey pre/post
+    processors, zephyr/middleware/problem.py:87-163 + survey.py:209-330;
+    here the chain rule runs through the differentiable resampler).
+    '''
+
+    p, s = _paired_mg(solverOpts={'tol': 1e-8, 'maxiter': 400})
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal(NZ * NX)
+    w = rng.standard_normal(s.nD) + 1j * rng.standard_normal(s.nD)
+
+    Jv = p.Jvec(v=v)
+    assert Jv.shape == (s.nD,)
+    assert np.isfinite(Jv).all() and np.abs(Jv).max() > 0
+    Jtw = p.Jtvec(v=w)
+    assert Jtw.shape == (NZ * NX,)
+
+    lhs = np.real(np.vdot(w, Jv))
+    rhs = float(np.dot(Jtw, v))
+    assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-5
+
+
+@pytest.mark.slow
+def test_multigrid_misfit_gradient_finite_difference():
+    'FD check of the fine-grid gradient through the scaled-grid solves.'
+
+    p, s = _paired_mg(solverOpts={'tol': 1e-9, 'maxiter': 600})
+    dobs = s.dpred()
+    c0 = p.baseVelocity.ravel() + 15.0
+
+    f0, g = p.misfit_and_gradient(c0.reshape(NZ, NX), dobs)
+    assert f0 > 0 and np.isfinite(g).all()
+
+    rng = np.random.default_rng(3)
+    dm = rng.standard_normal(c0.size)
+    dm /= np.linalg.norm(dm)
+    eps = 0.5
+    f_plus, _ = p.misfit_and_gradient((c0 + eps * dm).reshape(NZ, NX),
+                                      dobs)
+    f_minus, _ = p.misfit_and_gradient((c0 - eps * dm).reshape(NZ, NX),
+                                       dobs)
+    fd = (f_plus - f_minus) / (2 * eps)
+    pred = float(np.dot(g, dm))
+    assert abs(fd - pred) / abs(fd) < 1e-3
+
+
+def test_dpred_fn_rebuilds_on_survey_change():
+    '''
+    The cached forward closure captures survey vectors at build time;
+    re-pairing with different geometry must invalidate it (staleness
+    hazard fixed in round 3).
+    '''
+
+    p, s = _paired_mg()
+    fn1 = p._dpred_fn()
+    assert p._dpred_fn() is fn1           # stable while survey unchanged
+
+    sc2 = _config(geom={'src': np.array([[12., 14.]]),
+                        'rec': np.array([[30., 20.], [30., 40.],
+                                         [30., 30.]]),
+                        'mode': 'fixed'})
+    s2 = Helm2DMultiGridSurvey(sc2)
+    p.pair(s2)
+    fn2 = p._dpred_fn()
+    assert fn2 is not fn1
+
+
 @pytest.mark.slow
 def test_multigrid_fields_upscaled():
     'fields() must return wavefields on the NATIVE grid (upscaled).'

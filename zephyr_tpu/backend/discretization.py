@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from ..core.attrmap import BaseSCCache
 from ..solver.helmholtz import (SolverConfig, prepare_operator,
-                                solve_batched, shifted_velocity)
+                                resolve_solver_config, solve_batched,
+                                shifted_velocity)
 from .base import BaseModelDependent
 
 
@@ -90,17 +91,12 @@ class BaseDiscretization(BaseModelDependent):
     def solverConfig(self):
         '''
         Static iterative-solver configuration (overridable via the
-        ``solverOpts`` config key). The default residual target is
-        precision-aware: SolverConfig's 1e-7 is below single-precision
-        resolution, so on the complex64 (TPU) path an unconfigured
-        tolerance would burn ``maxiter`` iterations on every solve and
-        still miss — 1e-5 is the reachable production default there
-        (and the BASELINE.md agreement target).
+        ``solverOpts`` config key), with the precision-aware default
+        tolerance resolved by the shared helper
+        (solver.helmholtz.resolve_solver_config) so the backend and
+        middleware solve paths agree.
         '''
-        opts = dict(getattr(self, '_solverOpts', {}))
-        if default_complex_dtype() == jnp.complex64:
-            opts.setdefault('tol', 1e-5)
-        return SolverConfig(**opts)
+        return resolve_solver_config(getattr(self, '_solverOpts', {}))
 
     @property
     def nblock(self):

@@ -31,9 +31,12 @@ from ..backend.eurus import Eurus, EurusHD
 from ..backend.discretization import default_complex_dtype
 from ..ops.minizephyr_coeff import minizephyr_planes
 from ..ops.eurus_coeff import eurus_planes
+from ..backend.interpolation import resample_field
 from ..solver.helmholtz import (SolverConfig, prepare_operator,
-                                solve_batched, shifted_velocity)
-from .survey import HelmBaseSurvey, Helm2DSurvey, Helm25DSurvey
+                                resolve_solver_config, solve_batched,
+                                shifted_velocity)
+from .survey import (HelmBaseSurvey, HelmMultiGridSurvey, Helm2DSurvey,
+                     Helm25DSurvey)
 from .fields import HelmFields
 from .mesh import TensorMesh2D
 
@@ -156,16 +159,20 @@ class HelmBaseProblem(BaseModelDependent, BaseSCCache):
              and not is_eurus)
         return Disc, is_eurus, is_hd, is_25d
 
-    def _modelTransform(self, c, freq):
+    def _modelTransform(self, c, freq, Q=None):
         '''
         The per-frequency complex-velocity transform implemented by the
         SystemWrapper (dispersion for the Visco wrappers), as a pure jnp
         function of the base velocity (distributors.py:326-359 semantics).
+        ``Q`` overrides the configured attenuation model (used by the
+        MultiGrid path, which resamples an array-valued Q to each
+        frequency's grid).
         '''
 
         wrapper = self.SystemWrapper
         if issubclass(wrapper, ViscoMultiFreq):
-            Q = self.systemConfig.get('Q', np.inf)
+            if Q is None:
+                Q = self.systemConfig.get('Q', np.inf)
             freqBase = self.systemConfig.get('freqBase', 0.)
             Q = jnp.asarray(Q)
             if bool(jnp.any(Q != jnp.inf)) and freqBase > 0:
@@ -187,8 +194,9 @@ class HelmBaseProblem(BaseModelDependent, BaseSCCache):
 
     @property
     def solverConfig(self):
-        opts = self.systemConfig.get('solverOpts', {})
-        return SolverConfig(**opts)
+        'Solver options with the shared precision-aware tol default.'
+        return resolve_solver_config(self.systemConfig.get('solverOpts',
+                                                           {}))
 
     def _solve_25d(self, ci, rho, f, qf_i, cfg, kwargs):
         '''
@@ -229,20 +237,61 @@ class HelmBaseProblem(BaseModelDependent, BaseSCCache):
         u = scale_term * jnp.sum(u_ky, axis=0)   # (nsrc, nz, nx)
         return u.reshape((u.shape[0], nz * nx)).T
 
+    def _surveyFingerprint(self):
+        '''
+        Value-based fingerprint of everything the cached forward map
+        closes over from the survey (geometry, spectra, grid scales):
+        a survey change after the first Jvec/Jtvec must rebuild the
+        closure. Model changes are handled by updateModel/cacheItems.
+        '''
+
+        import hashlib
+        s = self.survey
+        h = hashlib.sha1()
+        h.update(np.ascontiguousarray(
+            np.asarray(s.sLocs, np.float64)).tobytes())
+        h.update(np.ascontiguousarray(
+            np.asarray(s.rLocs, np.float64)).tobytes())
+        h.update(np.asarray(s.freqs, np.float64).tobytes())
+        h.update(s.mode.encode())
+        h.update(np.ascontiguousarray(np.asarray(s.ssTerms)).tobytes())
+        h.update(np.ascontiguousarray(np.asarray(s.srTerms)).tobytes())
+        h.update(np.ascontiguousarray(np.asarray(s.tsTerms)).tobytes())
+        if isinstance(s, HelmMultiGridSurvey):
+            h.update(np.asarray(s.mgHelper.scales).tobytes())
+        return (id(s), h.hexdigest())
+
     def _dpred_fn(self):
         '''
         Build (and cache) the pure, differentiable forward map
-        c (nz, nx) real -> data cube (nrec, nsrc, nfreq) complex,
-        plus its jitted value-and-vjp/jvp wrappers.
+        c (nz, nx) real -> data cube (nrec, nsrc, nfreq) complex.
+
+        For MultiGrid surveys (per-frequency computation grids,
+        reference survey.py:209-330 + distributors.py:384-435) each
+        frequency's system is built on its own scaled grid: the model
+        is resampled differentiably (resample_field) inside the traced
+        map, and the survey's scaled-grid source/receiver matrices are
+        consumed as-is — so Jvec/Jtvec return fine-grid model
+        sensitivities with the chain rule through the resampler,
+        matching the reference's pre/postProcessor composition
+        (problem.py:87-163).
         '''
 
-        if getattr(self, '_dpred_grad_fn', None) is not None:
+        key = self._surveyFingerprint()
+        if getattr(self, '_dpred_grad_fn', None) is not None \
+                and getattr(self, '_dpred_key', None) == key:
             return self._dpred_grad_fn
 
         survey = self.survey
         cfg = self.solverConfig
         cdtype = default_complex_dtype()
         Disc, is_eurus, is_hd, is_25d = self._discInfo()
+        is_mg = isinstance(survey, HelmMultiGridSurvey)
+        if is_mg and (is_eurus or is_25d):
+            raise NotImplementedError(
+                'per-frequency computation grids are bound to the '
+                'scalar 2D (visco) problem, as in the reference '
+                '(zephyr/middleware/problem.py:224-238)')
         kwargs = self._planeKwargs()
         if is_eurus:
             sc = self.systemConfig
@@ -258,74 +307,102 @@ class HelmBaseProblem(BaseModelDependent, BaseSCCache):
         rho = rho.reshape((self.nz, self.nx))
 
         freqs = [float(f) for f in survey.freqs]
-        # sources with spectrum applied: list of (nrow, nsrc) dense
+        # sources with spectrum applied: list of (nrow_i, nsrc) dense
+        # (on each frequency's own grid for MultiGrid surveys)
         qf = [jnp.asarray(np.asarray(q.todense()
                                      if hasattr(q, 'todense') else q),
                           dtype=cdtype) for q in survey.getSources()]
-        # receivers: (nrec, nrow) dense (fixed mode) or per-src stack
+
+        # per-frequency receivers: (nrec, nrow_i) dense (fixed mode) or
+        # a (nsrc, nrec, nrow_i) stack (relative mode)
+        def _rv(isrc, ifreq):
+            return (survey.rVec(isrc, ifreq) if is_mg
+                    else survey.rVec(isrc))
+
         if survey.mode == 'fixed':
-            R = jnp.asarray(np.asarray(survey.rVec(0).todense()),
-                            dtype=cdtype)
+            R = [jnp.asarray(np.asarray(_rv(0, i).todense()),
+                             dtype=cdtype) for i in range(len(freqs))]
         else:
-            R = jnp.stack([jnp.asarray(
-                np.asarray(survey.rVec(i).todense()), dtype=cdtype)
-                for i in range(survey.nsrc)])
+            R = [jnp.stack([jnp.asarray(
+                np.asarray(_rv(s, i).todense()), dtype=cdtype)
+                for s in range(survey.nsrc)]) for i in range(len(freqs))]
 
         nz, nx = self.nz, self.nx
         B = 2 if is_eurus else 1
-        nrow = nz * nx
+
+        # per-frequency grid geometry and (static) resampled aux fields
+        if is_mg:
+            geoms, Qs, rhos = [], [], []
+            Q_cfg = np.asarray(self.systemConfig.get('Q', np.inf))
+            for i in range(len(freqs)):
+                sc_i = survey.scScales[survey.buildSC(i)]
+                snz, snx = int(sc_i['nz']), int(sc_i['nx'])
+                geoms.append((snz, snx,
+                              dict(kwargs, dx=float(sc_i['dx']),
+                                   dz=float(sc_i['dz']))))
+                if Q_cfg.size > 1:
+                    ds = survey.mgHelper.downScalers[i]
+                    Qs.append(jnp.asarray(np.real(
+                        np.asarray(ds * Q_cfg.ravel())).reshape(
+                            (snz, snx))))
+                else:
+                    Qs.append(None)
+                rhos.append(resample_field(rho, (snz, snx))
+                            if (snz, snx) != (nz, nx) else rho)
+        else:
+            geoms = [(nz, nx, kwargs)] * len(freqs)
+            Qs = [None] * len(freqs)
+            rhos = [rho] * len(freqs)
 
         def forward(c_real):
             c_real = c_real.reshape((nz, nx))
             panels = []
             for i, f in enumerate(freqs):
-                ci = self._modelTransform(c_real, f).astype(cdtype)
+                nz_i, nx_i, kw = geoms[i]
+                nrow_i = nz_i * nx_i
+                c_i = (resample_field(c_real, (nz_i, nx_i))
+                       if (nz_i, nx_i) != (nz, nx) else c_real)
+                ci = self._modelTransform(c_i, f, Q=Qs[i]).astype(cdtype)
                 if is_25d:
-                    u = self._solve_25d(ci, rho, f, qf[i], cfg, kwargs)
-                    if survey.mode == 'fixed':
-                        panels.append(jnp.matmul(
-                            R, u, precision=lax.Precision.HIGHEST))
+                    u = self._solve_25d(ci, rhos[i], f, qf[i], cfg, kw)
+                else:
+                    if is_eurus:
+                        planes = eurus_planes(ci, rhos[i], freq=f, **kw)
+                        pplanes = eurus_planes(
+                            shifted_velocity(ci, cfg.shift), rhos[i],
+                            freq=f, pml_cap=cfg.pml_cap, **kw)
                     else:
-                        nsrc = qf[i].shape[1]
-                        panels.append(jnp.einsum(
-                            'smn,ns->ms', R.reshape((nsrc, -1, nrow)), u,
-                            precision=lax.Precision.HIGHEST))
-                    continue
-                if is_eurus:
-                    planes = eurus_planes(ci, rho, freq=f, **kwargs)
-                    pplanes = eurus_planes(
-                        shifted_velocity(ci, cfg.shift), rho, freq=f,
-                        pml_cap=cfg.pml_cap, **kwargs)
-                else:
-                    planes = minizephyr_planes(ci, rho, freq=f,
-                                               **kwargs)[None, None]
-                    pplanes = minizephyr_planes(
-                        shifted_velocity(ci, cfg.shift), rho, freq=f,
-                        pml_cap=cfg.pml_cap, **kwargs)[None, None]
-                op = prepare_operator(planes, pplanes, cfg,
-                                      with_transpose=True)
-                premul = np.sqrt(2j * np.pi * f) if is_hd else \
-                    complex(self.systemConfig.get('premul', 1.))
-                b = (premul * qf[i]).T  # (nsrc, nrow)
-                nsrc = b.shape[0]
-                if is_eurus:
-                    b = jnp.concatenate(
-                        [b, jnp.zeros_like(b)], axis=1)
-                b = b.reshape((nsrc, B, nz, nx))
-                x = solve_batched(op, b, cfg)
-                u = jnp.conj(x[:, 0].reshape((nsrc, nrow))).T
+                        planes = minizephyr_planes(ci, rhos[i], freq=f,
+                                                   **kw)[None, None]
+                        pplanes = minizephyr_planes(
+                            shifted_velocity(ci, cfg.shift), rhos[i],
+                            freq=f, pml_cap=cfg.pml_cap,
+                            **kw)[None, None]
+                    op = prepare_operator(planes, pplanes, cfg,
+                                          with_transpose=True)
+                    premul = np.sqrt(2j * np.pi * f) if is_hd else \
+                        complex(self.systemConfig.get('premul', 1.))
+                    b = (premul * qf[i]).T  # (nsrc, nrow_i)
+                    nsrc = b.shape[0]
+                    if is_eurus:
+                        b = jnp.concatenate(
+                            [b, jnp.zeros_like(b)], axis=1)
+                    b = b.reshape((nsrc, B, nz_i, nx_i))
+                    x = solve_batched(op, b, cfg)
+                    u = jnp.conj(x[:, 0].reshape((nsrc, nrow_i))).T
                 if survey.mode == 'fixed':
-                    # explicit precision: TPU matmuls default to bfloat16
+                    # explicit precision: TPU matmuls default to bf16
                     panels.append(jnp.matmul(
-                        R, u, precision=lax.Precision.HIGHEST))
+                        R[i], u, precision=lax.Precision.HIGHEST))
                 else:
-                    panels.append(jnp.einsum('smn,ns->ms',
-                                             R.reshape((nsrc, -1, nrow)),
-                                             u,
-                                             precision=lax.Precision.HIGHEST))
+                    nsrc = qf[i].shape[1]
+                    panels.append(jnp.einsum(
+                        'smn,ns->ms', R[i].reshape((nsrc, -1, nrow_i)),
+                        u, precision=lax.Precision.HIGHEST))
             return jnp.stack(panels, axis=-1)  # (nrec, nsrc, nfreq)
 
         self._dpred_grad_fn = forward
+        self._dpred_key = key
         return forward
 
     def Jvec(self, m=None, v=None, u=None):

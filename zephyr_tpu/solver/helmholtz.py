@@ -123,6 +123,25 @@ class SolverConfig(NamedTuple):
                               # block sizes fall back to '2d'.
 
 
+def resolve_solver_config(opts=None):
+    '''
+    Build a SolverConfig from a user options dict with the
+    precision-aware default tolerance applied: SolverConfig's 1e-7
+    default is below single-precision resolution, so on the complex64
+    (TPU) path an unconfigured solve would burn ``maxiter`` iterations
+    on every RHS and still miss the target — 1e-5 is the reachable
+    production default there (and the BASELINE.md agreement target).
+    complex128 (x64) keeps the full 1e-7. This is the single source of
+    truth for both the backend (discretization.Ainv) and middleware
+    (problem.Jvec/Jtvec) solve paths.
+    '''
+
+    opts = dict(opts or {})
+    if not jax.config.jax_enable_x64:
+        opts.setdefault('tol', 1e-5)
+    return SolverConfig(**opts)
+
+
 def shifted_velocity(c, shift=0.5j):
     '''
     Velocity substitution implementing the complex-shifted-Laplacian
