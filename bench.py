@@ -68,6 +68,86 @@ def _layered_c(n, dtype=np.float32):
     return c
 
 
+def _marmousi_c(n, dtype=np.float32):
+    '''
+    Synthetic Marmousi-style medium (deterministic): dipping folded
+    stratigraphy with a lateral velocity trend, fault-block offsets and
+    a low-velocity lens — heterogeneous in BOTH directions, so the
+    depth-stratified interior solve is only approximate (unlike the
+    exactly-layered case). Mirrors BASELINE.md staged config 4's
+    "Marmousi-style 2D model" intent without shipping the licensed
+    Marmousi grid.
+    '''
+
+    z = np.linspace(0., 1., n)[:, None]
+    x = np.linspace(0., 1., n)[None, :]
+    horizon = z + 0.15 * x + 0.05 * np.sin(6.0 * np.pi * x) * (0.3 + z)
+    for fx, dzo in ((0.3, 0.06), (0.55, -0.08), (0.8, 0.05)):
+        horizon = horizon + dzo * (x > fx)
+    nlayer = 12
+    idx = np.clip(np.floor(horizon * nlayer).astype(int), 0, nlayer + 2)
+    rng = np.random.default_rng(42)
+    vels = (1500. + 1600. * np.arange(nlayer + 3) / (nlayer + 2)
+            + rng.uniform(-120., 120., nlayer + 3))
+    vels = np.maximum.accumulate(vels)          # compaction trend
+    c = vels[idx]
+    r2 = (z - 0.45) ** 2 + (x - 0.5) ** 2
+    c = c - 300. * np.exp(-r2 / 0.01)
+    return np.asarray(np.maximum(c, 1400.), dtype)
+
+
+# public peak HBM bandwidth per chip (bytes/s) by device kind substring
+_PEAK_HBM_BW = (('v5p', 2765e9), ('v5 lite', 819e9), ('v5e', 819e9),
+                ('v6', 1640e9), ('v4', 1228e9), ('v3', 900e9),
+                ('v2', 700e9))
+
+
+def _peak_bw(device_kind):
+    dk = device_kind.lower()
+    for key, bw in _PEAK_HBM_BW:
+        if key in dk:
+            return bw
+    return None
+
+
+def _traffic_model(n, B, chunk_krylov):
+    '''
+    Modeled HBM traffic per outer Krylov iteration per RHS, in bytes —
+    the auditable basis of the reported bandwidth utilization. Counted
+    streams (complex64 = 8 B/elem; every vmapped RHS lane re-streams
+    the shared coefficient planes, which is the physical behavior of
+    the batched Pallas kernels):
+
+    scalar (B=1) BiCGStab step with the fused hybrid preconditioner:
+    - 2 matvecs: 9 true planes + read x + write y      = 2 x 11 F
+    - 2 precond applies, each: fused downstroke (read r, 9 precond
+      planes, write smoothed iterate, write coarse residual ~0.25 F),
+      stratified PCR at half grid (~1.5 F: FFT passes + bf16 factor
+      stream), coarse V-cycle tail (~0.7 F), fused upstroke (read
+      coarse correction ~0.25 F, 9 precond planes, read r, r/w x)
+                                                       = 2 x ~25.7 F
+    - BiCGStab vector updates + dots                   = ~12 F
+    total ~ 85 F, F = n^2 * 8 B.
+
+    block (B=2) GMRES step: one block matvec (4 x 9 half-size plane
+    families ~ 18 F_B + r/w fields 2 F_B), one precond (block line
+    smoother + transfers ~ 22 F_B), Arnoldi orthogonalization
+    (~restart/2 basis reads + 4 F_B updates), F_B = B n^2 * 8 B.
+    '''
+
+    F = n * n * 8
+    if B == 1:
+        terms = {'matvec': 2 * 11 * F, 'precond': 2 * 25.7 * F,
+                 'krylov_vec': 12 * F}
+    else:
+        FB = B * n * n * 8
+        terms = {'matvec': (18 + 2) * FB,
+                 'precond': 22 * FB,
+                 'krylov_vec': (chunk_krylov / 2 + 4) * FB}
+    return sum(terms.values()), {k: round(v / 1e6, 1)
+                                 for k, v in terms.items()}
+
+
 def measure_tpu(n, nsrc, medium='hom'):
     jax = _common_setup()
     import jax.numpy as jnp
@@ -101,8 +181,14 @@ def measure_tpu(n, nsrc, medium='hom'):
         return q.at[jnp.arange(pos.shape[0]), 0, pos[:, 0], pos[:, 1]].set(
             1.0 + 0.0j)
 
-    c_real = (cval * np.ones((n, n), dtype=np.float32) if medium == 'hom'
-              else _layered_c(n))
+    if medium == 'hom':
+        c_real = cval * np.ones((n, n), dtype=np.float32)
+    elif medium == 'layered':
+        c_real = _layered_c(n)
+    elif medium == 'marmousi':
+        c_real = _marmousi_c(n)
+    else:
+        raise ValueError(medium)
     op = realio_jit(prep_fn)(jnp.asarray(c_real))
 
     rng = np.random.default_rng(0)
@@ -129,6 +215,22 @@ def measure_tpu(n, nsrc, medium='hom'):
         'wavelengths_across': n / BENCH_WAVELEN_CELLS,
         'chunk': chunk,
         'medium': medium,
+    }
+
+    # roofline accounting: modeled HBM bytes moved per iteration x
+    # iterations x RHS count over the measured wall-clock, vs chip peak
+    bytes_per_iter, terms = _traffic_model(n, 1, chunk)
+    achieved = bytes_per_iter * int(iters) * nsrc / t
+    kind = getattr(jax.devices()[0], 'device_kind', '')
+    peak = _peak_bw(str(kind))
+    info['roofline'] = {
+        'modeled_bytes_per_iter_per_rhs_MB': round(bytes_per_iter / 1e6,
+                                                   1),
+        'terms_MB': terms,
+        'achieved_GBps': round(achieved / 1e9, 1),
+        'peak_GBps': round(peak / 1e9, 1) if peak else None,
+        'bw_util': round(achieved / peak, 3) if peak else None,
+        'device_kind': str(kind),
     }
 
     if medium == 'hom':
@@ -163,7 +265,7 @@ def measure_tpu(n, nsrc, medium='hom'):
     return nsrc / t, info
 
 
-def measure_eurus(n, nsrc):
+def measure_eurus(n, nsrc, medium='hom'):
     'TTI block-system throughput (Thomsen anisotropy, PML).'
 
     jax = _common_setup()
@@ -199,8 +301,9 @@ def measure_eurus(n, nsrc):
         return q.at[jnp.arange(pos.shape[0]), 0, pos[:, 0], pos[:, 1]].set(
             1.0 + 0.0j)
 
-    op = realio_jit(prep_fn)(jnp.asarray(
-        cval * np.ones((n, n), np.float32)))
+    c_np = (cval * np.ones((n, n), np.float32) if medium == 'hom'
+            else _layered_c(n))
+    op = realio_jit(prep_fn)(jnp.asarray(c_np))
     rng = np.random.default_rng(1)
     pos = rng.integers(n // 8, 7 * n // 8, size=(nsrc, 2)).astype(np.int32)
     b = realio_jit(make_rhs)(pos)
@@ -209,9 +312,19 @@ def measure_eurus(n, nsrc):
     t0 = time.time()
     _, iters, relres = solver(op, b)
     t = time.time() - t0
+
+    bytes_per_iter, terms = _traffic_model(n, 2, chunk)
+    achieved = bytes_per_iter * int(iters) * nsrc / t
+    peak = _peak_bw(str(getattr(jax.devices()[0], 'device_kind', '')))
     return nsrc / t, {'iters': int(iters), 'relres': float(relres),
-                      'grid': n, 'medium': 'TTI hom',
-                      'device': str(jax.devices()[0])}
+                      'grid': n, 'medium': 'TTI ' + medium,
+                      'device': str(jax.devices()[0]),
+                      'roofline': {
+                          'modeled_bytes_per_iter_per_rhs_MB':
+                              round(bytes_per_iter / 1e6, 1),
+                          'achieved_GBps': round(achieved / 1e9, 1),
+                          'bw_util': (round(achieved / peak, 3)
+                                      if peak else None)}}
 
 
 def measure_gradient(n, nsrc, nfreq):
@@ -378,22 +491,59 @@ def _measure_subprocess(mode, timeout=None, **env_overrides):
 
 
 def _run_measure_only(mode):
-    if mode in ('hom', 'layered'):
+    if mode in ('hom', 'layered', 'marmousi'):
         throughput, info = measure_tpu(BENCH_N, BENCH_NSRC, medium=mode)
         print(json.dumps({'throughput': throughput, 'info': info}))
-    elif mode == 'eurus':
-        throughput, info = measure_eurus(EURUS_N, BENCH_NSRC)
+    elif mode in ('eurus', 'eurus_layered'):
+        throughput, info = measure_eurus(
+            EURUS_N, BENCH_NSRC,
+            medium='hom' if mode == 'eurus' else 'layered')
         print(json.dumps({'throughput': throughput, 'info': info}))
     elif mode == 'gradient':
         t_total, info = measure_gradient(BENCH_N, BENCH_NSRC, GRAD_NFREQ)
         print(json.dumps({'wall_s': t_total, 'info': info}))
 
 
+_PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             'BENCH_PARTIAL.json')
+
+
+def _flush_partial(result):
+    'Write the accumulating result to disk after EVERY completed row.'
+    try:
+        with open(_PARTIAL_PATH, 'w') as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
+
+
+def _probe_with_backoff():
+    '''
+    Probe the TPU runtime with retries spread across a window: the
+    tunnel worker wedges transiently after client crashes (round-2
+    postmortem), and a single failed probe at the wrong moment turned
+    the round-2 official record into a CPU-fallback number. Window and
+    attempt count are env-tunable; total default ~13 min.
+    '''
+
+    attempts = int(os.environ.get('ZT_BENCH_PROBE_ATTEMPTS', 4))
+    wait = float(os.environ.get('ZT_BENCH_PROBE_WAIT', 60))
+    timeout_s = float(os.environ.get('ZT_BENCH_PROBE_TIMEOUT', 150))
+    for i in range(attempts):
+        platform = _probe_device(timeout_s=timeout_s)
+        if platform:
+            return platform, i + 1
+        if i < attempts - 1:
+            time.sleep(wait)
+    return None, attempts
+
+
 def main():
     # Global wall-clock budget: the headline measurement always runs;
-    # each extra (layered/eurus/gradient) is attempted only while under
-    # budget, so a slow tunnel or cold compile cache degrades the detail
-    # instead of timing out the whole benchmark with no output.
+    # each extra is attempted only while under budget — and EVERY row
+    # always appears in the detail, as a result or a {'skipped': ...},
+    # with the whole result flushed to BENCH_PARTIAL.json per row so a
+    # mid-run wedge keeps completed rows.
     t_start = time.time()
     budget = float(os.environ.get('ZT_BENCH_TOTAL_BUDGET', 2100))
 
@@ -404,17 +554,24 @@ def main():
             return None
         return left
 
-    platform = _probe_device()
+    platform, probes = _probe_with_backoff()
     if platform is None:
-        # TPU runtime hung at init: fall back to CPU so the benchmark
-        # still produces a (clearly labelled) number
+        # TPU runtime hung at init across all retries: fall back to CPU
+        # so the benchmark still produces a (clearly labelled) number
         os.environ['ZT_BENCH_FORCE_CPU'] = '1'
-        platform = 'cpu-fallback(tpu-init-hang)'
+        platform = 'cpu-fallback(tpu-init-hang;%d probes)' % probes
 
     if os.environ.get('ZT_BENCH_FORCE_CPU'):
         sizes = [min(BENCH_N, 512), 256]
     else:
         sizes = [BENCH_N, BENCH_N // 2, BENCH_N // 4]
+
+    result = {'metric': 'Helmholtz solves/sec/chip', 'value': 0.0,
+              'unit': 'solves/s', 'vs_baseline': 0.0, 'detail': {}}
+    detail = result['detail']
+    detail['platform_probe'] = platform
+    detail['requested_grid'] = BENCH_N
+    _flush_partial(result)
 
     measured = None
     for n in sizes:
@@ -423,47 +580,40 @@ def main():
             measured = out
             measured['grid'] = n
             break
+        detail.setdefault('failures', {})[str(n)] = out
+        _flush_partial(result)
     if measured is None:
-        print(json.dumps({'metric': 'Helmholtz solves/sec/chip',
-                          'value': 0.0, 'unit': 'solves/s',
-                          'vs_baseline': 0.0,
-                          'detail': 'all grid sizes failed'}))
+        detail['tpu'] = {'skipped': 'all grid sizes failed'}
+        _flush_partial(result)
+        print(json.dumps(result))
         return
 
     n = measured['grid']
-    lu_throughput, lu_info = measure_lu_baseline(n, BENCH_NSRC)
     tpu_throughput = measured['throughput']
+    detail['tpu'] = measured['info']
+    result['metric'] = ('Helmholtz solves/sec/chip at %d^2, %d sources '
+                        'batched' % (n, BENCH_NSRC))
+    result['value'] = round(tpu_throughput, 4)
+    _flush_partial(result)
 
-    detail = {'tpu': measured['info'], 'lu_baseline': lu_info,
-              'lu_throughput': lu_throughput,
-              'requested_grid': BENCH_N,
-              'platform_probe': platform}
+    lu_throughput, lu_info = measure_lu_baseline(n, BENCH_NSRC)
+    detail['lu_baseline'] = lu_info
+    detail['lu_throughput'] = lu_throughput
+    result['vs_baseline'] = round(tpu_throughput / lu_throughput, 2)
+    detail['vs_lu_151src_amortized'] = round(
+        tpu_throughput / lu_info['lu_throughput_151src'], 2)
+    _flush_partial(result)
 
-    if RUN_EXTRAS and not os.environ.get('ZT_BENCH_FORCE_CPU'):
-        left = _under_budget('layered', detail)
-        if left:
-            lay = _measure_subprocess('layered', timeout=left,
-                                      ZT_BENCH_N=n)
-            if lay and 'throughput' in lay:
-                lay_thr = lay['throughput']
-                detail['layered'] = dict(lay['info'],
-                                         solves_per_s=round(lay_thr, 4),
-                                         vs_lu=round(lay_thr
-                                                     / lu_throughput, 2))
-            else:
-                detail['layered'] = lay
-        left = _under_budget('eurus', detail)
-        if left:
-            eur = _measure_subprocess('eurus', timeout=left)
-            if eur and 'throughput' in eur:
-                detail['eurus'] = dict(eur['info'],
-                                       solves_per_s=round(
-                                           eur['throughput'], 4))
-            else:
-                detail['eurus'] = eur
+    run_extras = RUN_EXTRAS and not os.environ.get('ZT_BENCH_FORCE_CPU')
+
+    # Extras, in priority order. The gradient row runs FIRST: it is the
+    # BASELINE.md metric that has never been recorded on TPU (rounds 1-2
+    # ran out of budget before reaching it at the old last position).
+    def _grad_row():
         left = _under_budget('gradient', detail)
-        grad = (_measure_subprocess('gradient', timeout=left,
-                                    ZT_BENCH_N=n) if left else None)
+        if not left:
+            return
+        grad = _measure_subprocess('gradient', timeout=left, ZT_BENCH_N=n)
         if grad and 'wall_s' in grad:
             # LU-gradient estimate: per frequency one factorization plus
             # forward + adjoint batched triangular solves (the reference
@@ -477,19 +627,41 @@ def main():
                                           lu_grad, 2),
                                       vs_lu=round(lu_grad
                                                   / grad['wall_s'], 2))
-        elif grad is not None:
-            detail['gradient'] = grad
+        else:
+            detail['gradient'] = grad or {'skipped': 'no output'}
 
-    detail['vs_lu_151src_amortized'] = round(
-        tpu_throughput / lu_info['lu_throughput_151src'], 2)
-    result = {
-        'metric': 'Helmholtz solves/sec/chip at %d^2, %d sources batched'
-                  % (n, BENCH_NSRC),
-        'value': round(tpu_throughput, 4),
-        'unit': 'solves/s',
-        'vs_baseline': round(tpu_throughput / lu_throughput, 2),
-        'detail': detail,
-    }
+    def _throughput_row(label, mode, **env):
+        left = _under_budget(label, detail)
+        if not left:
+            return
+        out = _measure_subprocess(mode, timeout=left, **env)
+        if out and 'throughput' in out:
+            thr = out['throughput']
+            detail[label] = dict(out['info'],
+                                 solves_per_s=round(thr, 4),
+                                 vs_lu=round(thr / lu_throughput, 2))
+        else:
+            detail[label] = out or {'skipped': 'no output'}
+
+    rows = [('gradient', _grad_row, {}),
+            ('layered', lambda: _throughput_row('layered', 'layered',
+                                                ZT_BENCH_N=n), {}),
+            ('marmousi', lambda: _throughput_row('marmousi', 'marmousi',
+                                                 ZT_BENCH_N=n), {}),
+            ('eurus', lambda: _throughput_row('eurus', 'eurus'), {}),
+            ('eurus_layered',
+             lambda: _throughput_row('eurus_layered', 'eurus_layered'),
+             {})]
+    for label, fn, _ in rows:
+        if not run_extras:
+            detail[label] = {'skipped': 'extras disabled (%s)'
+                             % ('cpu fallback'
+                                if os.environ.get('ZT_BENCH_FORCE_CPU')
+                                else 'ZT_BENCH_EXTRAS=0')}
+        else:
+            fn()
+        _flush_partial(result)
+
     print(json.dumps(result))
 
 
