@@ -16,6 +16,11 @@ if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 
+# bound the compat distributor's eager multi-device dispatch: every
+# device it touches compiles its own executables, and this box has one
+# CPU core — two devices prove the path without blowing up compile time
+os.environ.setdefault('ZEPHYR_TPU_MAX_WORKERS', '2')
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax

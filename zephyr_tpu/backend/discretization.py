@@ -187,6 +187,16 @@ class BaseDiscretization(BaseModelDependent):
             c = np.asarray(self.c, dtype=np.complex128).astype(cdtype)
             rho = np.asarray(self.rho, dtype=np.float64).astype(rdtype)
             vals = [cast(traced[k]) for k in names]
+            dev = getattr(self, '_deviceHint', None)
+            if dev is not None:
+                # commit the inputs to the hinted device so the jitted
+                # preparation (and the prepared operator) live there —
+                # the parallel distributor round-robins siblings across
+                # local devices this way
+                from ..core.realio import device_put_c
+                c = device_put_c(c, dev)
+                rho = jax.device_put(rho, dev)
+                vals = [device_put_c(v, dev) for v in vals]
             self._Ainv = cache[key](c, rho, *vals)
         return self._Ainv
 
@@ -219,9 +229,38 @@ class BaseDiscretization(BaseModelDependent):
         from ..core.realio import realio_jit
         if cfg not in cls._rio_solvers:
             cls._rio_solvers[cfg] = realio_jit(
-                lambda op, b: solve_batched(op, b, cfg),
-                host_output=True)
+                lambda op, b: solve_batched(op, b, cfg))
         return cls._rio_solvers[cfg]
+
+    def _dispatch_rhs(self, rhs):
+        '''
+        Enqueue the solve for rhs (n, nrhs) complex and return the
+        device-resident (C-pair) result WITHOUT blocking on completion
+        (JAX dispatch is asynchronous). The parallel distributor uses
+        this to keep several sibling solves in flight on different
+        devices at once — the TPU-native analog of the reference's
+        ``pool.apply_async`` (zephyr/backend/distributors.py:161-168).
+        '''
+
+        cdtype = default_complex_dtype()
+        nrhs = rhs.shape[1]
+        b = np.asarray(self.premul * rhs)
+        if cdtype == jnp.complex64:
+            b = b.astype(np.complex64)
+        b = b.T.reshape((nrhs, self.nblock, self.nz, self.nx))
+        dev = getattr(self, '_deviceHint', None)
+        if dev is not None:
+            from ..core.realio import device_put_c
+            b = device_put_c(b, dev)
+        return self._rio_solve(self.solverConfig)(self.Ainv, b), nrhs
+
+    def _gather_rhs(self, fut, nrhs):
+        'Materialize a dispatched solve (blocks), FT-conjugated.'
+
+        from ..core.realio import join_complex_host
+        x = np.asarray(join_complex_host(fut))
+        x = x.reshape((nrhs, self.nblock * self.nrow)).T
+        return x.conjugate()
 
     def _solve_rhs(self, rhs):
         '''
@@ -229,16 +268,8 @@ class BaseDiscretization(BaseModelDependent):
         reference's premul and conjugation applied.
         '''
 
-        cdtype = default_complex_dtype()
-        B = self.nblock
-        nrhs = rhs.shape[1]
-        b = np.asarray(self.premul * rhs)
-        if cdtype == jnp.complex64:
-            b = b.astype(np.complex64)
-        b = b.T.reshape((nrhs, B, self.nz, self.nx))
-        x = self._rio_solve(self.solverConfig)(self.Ainv, b)
-        x = np.asarray(x).reshape((nrhs, B * self.nrow)).T
-        return x.conjugate()
+        fut, nrhs = self._dispatch_rhs(rhs)
+        return self._gather_rhs(fut, nrhs)
 
     def __mul__(self, rhs):
         'Action of multiplying the inverted system by a right-hand side.'

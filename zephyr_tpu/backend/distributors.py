@@ -93,12 +93,17 @@ class LazyFields(object):
 class BaseMPDist(BaseDist):
     '''
     The parallel distributor. The reference dispatches subproblems to a
-    multiprocessing.Pool (distributors.py:70-193); on TPU each subproblem
-    solve is itself device-parallel, so this layer simply iterates (the
-    mesh-sharded multi-frequency fast path is in zephyr_tpu.parallel).
-    API parity: nWorkers/parallel config keys are accepted; ``__mul__``
-    handles list / generator / single-array right-hand sides and returns a
-    lazily-evaluated iterable of wavefields.
+    multiprocessing.Pool (distributors.py:70-193): ``__mul__`` enqueues
+    EVERY subproblem immediately (``pool.apply_async``) and the returned
+    generator collects results lazily. The TPU-native equivalent keeps
+    exactly that contract: when ``parallel`` (the default) sibling
+    subproblem solves are round-robined across the process's local
+    devices (``jax.local_devices()``) and enqueued up front — JAX's
+    asynchronous dispatch keeps the devices busy concurrently — while
+    the returned LazyFields materializes each wavefield only on
+    consumption. With ``parallel: False`` (SerialMultiFreq) nothing runs
+    until consumed, like the reference's serial generator path
+    (distributors.py:169-173).
     '''
 
     maskKeys = {'parallel'}
@@ -109,9 +114,19 @@ class BaseMPDist(BaseDist):
 
     @property
     def nWorkers(self):
-        'Number of logical workers (devices available to this process).'
+        '''
+        Number of logical workers (devices available to this process).
+        ``ZEPHYR_TPU_MAX_WORKERS`` caps it globally: each device a
+        distributor touches compiles its own prepare/solve executables,
+        so CI on a many-virtual-device CPU platform bounds the width to
+        keep compile time sane (the reference's MKL-aware cpuCount cap
+        plays the same role, distributors.py:93-112).
+        '''
+        import os
         import jax
-        return min(int(getattr(self, '_nWorkers', 100)),
+        cap = int(os.environ.get('ZEPHYR_TPU_MAX_WORKERS', 0)) \
+            or jax.local_device_count()
+        return min(int(getattr(self, '_nWorkers', 100)), cap,
                    jax.local_device_count())
 
     def __mul__(self, rhs):
@@ -123,13 +138,14 @@ class BaseMPDist(BaseDist):
                 subproblem), or generator thereof
 
         Returns:
-            LazyFields — a lazily-evaluated, re-iterable, indexable
+            LazyFields — a lazily-consumed, re-iterable, indexable
             sequence of wavefield arrays, one per subproblem (parity
-            with the reference's lazy generator protocol,
+            with the reference's generator protocol,
             zephyr/backend/distributors.py:161-173)
         '''
 
         import types
+        import scipy.sparse as _sp
         subs = self.subProblems
 
         if isinstance(rhs, list):
@@ -161,6 +177,34 @@ class BaseMPDist(BaseDist):
             if isinstance(result, list):
                 return [scaled(r) for r in result]
             return self.scaleTerm * result
+
+        nw = self.nWorkers
+        if self.parallel and nw > 1:
+            # eager dispatch across local devices (apply_async parity)
+            import jax
+            from .discretization import BaseDiscretization
+            devs = jax.local_devices()[:nw]
+            thunks = []
+            for i, sub in enumerate(subs):
+                plain = (isinstance(sub, BaseDiscretization)
+                         and type(sub).__mul__
+                         is BaseDiscretization.__mul__)
+                if not plain:
+                    # wrapper / custom __mul__: stay lazy, don't bypass
+                    thunks.append(
+                        lambda i=i, sub=sub: scaled(sub * getRHS(i)))
+                    continue
+                sub._deviceHint = devs[i % len(devs)]
+                b = getRHS(i)
+                if _sp.issparse(b):
+                    b = b.toarray()
+                b = np.asarray(b)
+                if b.ndim < 2:
+                    b = b.reshape((b.size, 1))
+                fut, nrhs = sub._dispatch_rhs(b.astype(np.complex128))
+                thunks.append(lambda sub=sub, fut=fut, nrhs=nrhs:
+                              scaled(sub._gather_rhs(fut, nrhs)))
+            return LazyFields(thunks)
 
         return LazyFields(
             (lambda i=i, sub=sub: scaled(sub * getRHS(i)))
