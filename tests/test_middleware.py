@@ -241,6 +241,44 @@ def test_25d_problem_dot_test():
     assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-5
 
 
+def test_25d_scan_path_matches_vmap():
+    '''
+    Above the scan threshold the ky summation runs as a lax.scan with
+    one prepared operator live at a time (memory-bounded at production
+    nky); both paths must produce the same wavefield.
+    '''
+
+    import jax.numpy as jnp
+    from zephyr_tpu.middleware import Helm25DProblem, Helm25DSurvey
+    from zephyr_tpu.backend import MiniZephyr25D
+
+    sc = _config(nx=28, nz=32, c=2000.,
+                 solverOpts={'tol': 1e-9, 'maxiter': 300})
+    sc['remDists'] = [MiniZephyr25D]
+    sc['nky'] = 3
+    sc['parallel'] = False
+    sc['cmin'] = 2000.
+    problem = Helm25DProblem(sc)
+    survey = Helm25DSurvey(sc)
+    problem.pair(survey)
+
+    nz, nx = 32, 28
+    ci = jnp.asarray(problem.baseVelocity + 0j)
+    rho = jnp.ones((nz, nx))
+    qf = np.zeros((nz * nx, 1), np.complex128)
+    qf[16 * nx + 10] = 1.0
+    cfg = problem.solverConfig
+    kw = problem._planeKwargs()
+
+    u_vmap = np.asarray(problem._solve_25d(
+        ci, rho, 80., jnp.asarray(qf), cfg, kw, scan_threshold=8))
+    u_scan = np.asarray(problem._solve_25d(
+        ci, rho, 80., jnp.asarray(qf), cfg, kw, scan_threshold=1))
+    assert np.isfinite(u_scan).all()
+    rel = np.linalg.norm(u_scan - u_vmap) / np.linalg.norm(u_vmap)
+    assert rel < 1e-8, rel
+
+
 @pytest.mark.slow
 def test_eurus_problem_dot_test():
     'Eurus-based problem: exact adjoint identity for the TTI operator.'

@@ -198,11 +198,19 @@ class HelmBaseProblem(BaseModelDependent, BaseSCCache):
         return resolve_solver_config(self.systemConfig.get('solverOpts',
                                                            {}))
 
-    def _solve_25d(self, ci, rho, f, qf_i, cfg, kwargs):
+    def _solve_25d(self, ci, rho, f, qf_i, cfg, kwargs,
+                   scan_threshold=8):
         '''
         Per-frequency 2.5D wavefield: Fourier summation over cross-line
         wavenumbers with the reference MiniZephyr25D conventions
         (minizephyr.py:380-433). Returns (nrow, nsrc).
+
+        Small nky vmaps the whole per-ky pipeline (fastest); above
+        ``scan_threshold`` the summation runs as a lax.scan so hierarchy
+        memory stays bounded at ONE prepared operator regardless of nky
+        (production nky is 20-160, reference minizephyr.py:380-394 — a
+        vmapped preparation would multiply the multigrid hierarchy by
+        nky).
         '''
 
         import jax as _jax
@@ -233,8 +241,17 @@ class HelmBaseProblem(BaseModelDependent, BaseSCCache):
             x = _jax.vmap(_partial(_solve, op, config=cfg))(b)
             return jnp.conj(x[:, 0])
 
-        u_ky = _jax.vmap(per_ky)(kys, premuls)
-        u = scale_term * jnp.sum(u_ky, axis=0)   # (nsrc, nz, nx)
+        if nky <= scan_threshold:
+            u_ky = _jax.vmap(per_ky)(kys, premuls)
+            u = jnp.sum(u_ky, axis=0)            # (nsrc, nz, nx)
+        else:
+            def step(acc, inp):
+                ky, premul = inp
+                return acc + per_ky(ky, premul), None
+
+            u, _ = lax.scan(step, jnp.zeros_like(b_all[:, 0]),
+                            (kys, premuls))
+        u = scale_term * u
         return u.reshape((u.shape[0], nz * nx)).T
 
     def _surveyFingerprint(self):

@@ -31,7 +31,7 @@ from jax import lax
 from ..ops.stencil import (apply_block_stencil, apply_block_stencil_fast,
                            transpose_block_planes)
 from .multigrid import build_hierarchy, transpose_hierarchy, v_cycle
-from .krylov import bicgstab, gmres
+from .krylov import bicgstab, gmres, fgmres, gmres_cycle
 
 
 class SolverConfig(NamedTuple):
@@ -61,8 +61,16 @@ class SolverConfig(NamedTuple):
                               # gmres for block/TTI systems — BiCGStab's
                               # short recurrence diverges on the Eurus
                               # 2x2 block system in complex64),
-                              # 'bicgstab', or 'gmres'
+                              # 'bicgstab', 'gmres', or 'fgmres'
+                              # (flexible GMRES: the preconditioner is
+                              # wrapped in fgmres_inner steps of inner
+                              # GMRES — a deeper effective subspace per
+                              # stored basis vector, for restart-limited
+                              # block/TTI solves)
     gmres_restart: int = 40
+    fgmres_inner: int = 4     # inner GMRES steps per FGMRES direction
+                              # (0 = plain flexible GMRES on the base
+                              # preconditioner)
     precond: str = 'hybrid'   # 'hybrid' (spectral + MG) or 'mg'
     mg_smoother: str = 'auto'  # 'auto' (alternating z/x line smoothing
                               # for block/TTI systems, fused damped
@@ -368,6 +376,27 @@ def _effective_krylov(config, block_size):
     return 'gmres' if block_size > 1 else 'bicgstab'
 
 
+def _inner_precond(matvec, M, config):
+    '''
+    The FGMRES "strong" variable preconditioner: ``fgmres_inner`` steps
+    of inner GMRES on the SAME operator, preconditioned by the base M.
+    Each outer Arnoldi direction then carries an inner_m-deep Krylov
+    correction, so one outer restart cycle spans an effectively
+    (restart x inner_m)-dimensional space while storing only
+    2 x restart basis vectors — the cure for restart-limited tails
+    (layered TTI, STATUS round-2 known issue 3). Nonlinear in r, hence
+    legal only inside flexible GMRES.
+    '''
+
+    inner = int(config.fgmres_inner)
+    if inner <= 0:
+        return M
+
+    def Mv(r):
+        return gmres_cycle(matvec, r, M=M, m=inner).x
+    return Mv
+
+
 def _make_precond(op, config, transpose=False):
     '''
     The preconditioner application r -> M r (a fixed linear operator).
@@ -514,6 +543,11 @@ def solve(op, b, config=SolverConfig()):
     krylov = _effective_krylov(config, op.planes.shape[0])
 
     def krylov_solve(matvec, rhs, Mfn):
+        if krylov == 'fgmres':
+            return fgmres(matvec, rhs,
+                          M=_inner_precond(matvec, Mfn, config),
+                          tol=config.tol, maxiter=config.maxiter,
+                          restart=config.gmres_restart).x
         if krylov == 'gmres':
             return gmres(matvec, rhs, M=Mfn, tol=config.tol,
                          maxiter=config.maxiter,
@@ -585,8 +619,12 @@ def make_chunked_solver(config=SolverConfig(), chunk=64):
 
         def one(bi, xi):
             r = bi - mv(xi)
-            if krylov == 'gmres':
-                from .krylov import gmres_cycle
+            if krylov == 'fgmres':
+                from .krylov import fgmres_cycle
+                res = fgmres_cycle(mv, r,
+                                   M=_inner_precond(mv, M, config),
+                                   m=chunk)
+            elif krylov == 'gmres':
                 res = gmres_cycle(mv, r, M=M, m=chunk)
             else:
                 res = bicgstab(mv, r, M=M, tol=config.tol, maxiter=chunk)
@@ -643,7 +681,12 @@ def solve_info(op, b, config=SolverConfig()):
         return apply_block_stencil_fast(op.planes, x)
 
     M = _make_precond(op, config)
-    if _effective_krylov(config, op.planes.shape[0]) == 'gmres':
+    krylov = _effective_krylov(config, op.planes.shape[0])
+    if krylov == 'fgmres':
+        res = fgmres(mv, b, M=_inner_precond(mv, M, config),
+                     tol=config.tol, maxiter=config.maxiter,
+                     restart=config.gmres_restart)
+    elif krylov == 'gmres':
         res = gmres(mv, b, M=M, tol=config.tol, maxiter=config.maxiter,
                     restart=config.gmres_restart)
     else:

@@ -216,6 +216,128 @@ def gmres_cycle(matvec, b, M=None, x0=None, m=20):
     return BicgstabResult(x, jnp.full((), m, jnp.int32), _norm(r) / bnorm)
 
 
+def fgmres_cycle(matvec, b, M=None, x0=None, m=20):
+    '''
+    One cycle of FLEXIBLE GMRES(m) (Saad 1993): the preconditioned
+    directions Z[j] = M(V[j]) are stored explicitly and the update is
+    x = x0 + Z y, so ``M`` may be a VARIABLE (nonlinear) operator — e.g.
+    an inner Krylov sweep — which plain right-preconditioned GMRES
+    (``gmres_cycle``: x = x0 + M(V y)) silently mis-solves. Costs one
+    extra basis array of memory; one fewer M application per cycle.
+    '''
+
+    if M is None:
+        M = lambda r: r
+
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - matvec(x0)
+    beta = _norm(r0)
+    safe_beta = jnp.where(beta > 0, beta, 1.0)
+    cdtype = b.dtype
+    rdtype = jnp.real(jnp.zeros((), cdtype)).dtype
+    tiny = jnp.finfo(rdtype).tiny
+
+    V = jnp.zeros((m + 1,) + b.shape, cdtype)
+    V = V.at[0].set(r0 / safe_beta.astype(cdtype))
+    Z = jnp.zeros((m,) + b.shape, cdtype)
+    H = jnp.zeros((m + 1, m), cdtype)
+    g = jnp.zeros((m + 1,), cdtype).at[0].set(beta.astype(cdtype))
+    cs = jnp.zeros((m,), cdtype)
+    sn = jnp.zeros((m,), cdtype)
+
+    def arnoldi_step(j, carry):
+        V, Z, H, g, cs, sn = carry
+        z = M(V[j])
+        Z = Z.at[j].set(z)
+        w = matvec(z)
+
+        def mgs(i, acc):
+            w, H = acc
+            keep = i <= j
+            hij = jnp.where(keep, _dot(V[i], w), 0.0)
+            w = w - hij * V[i]
+            H = H.at[i, j].set(jnp.where(keep, hij, H[i, j]))
+            return (w, H)
+        w, H = lax.fori_loop(0, m + 1, mgs, (w, H))
+
+        hnext = _norm(w).astype(cdtype)
+        H = H.at[j + 1, j].set(hnext)
+        vnext = w / jnp.where(jnp.abs(hnext) > tiny, hnext, 1.0)
+        V = V.at[j + 1].set(vnext)
+
+        def rot(i, H):
+            keep = i < j
+            h1 = jnp.conj(cs[i]) * H[i, j] + jnp.conj(sn[i]) * H[i + 1, j]
+            h2 = -sn[i] * H[i, j] + cs[i] * H[i + 1, j]
+            H = H.at[i, j].set(jnp.where(keep, h1, H[i, j]))
+            H = H.at[i + 1, j].set(jnp.where(keep, h2, H[i + 1, j]))
+            return H
+        H = lax.fori_loop(0, m, rot, H)
+
+        h0, h1 = H[j, j], H[j + 1, j]
+        denom = jnp.sqrt(jnp.abs(h0) ** 2 + jnp.abs(h1) ** 2)
+        denom = jnp.where(denom > tiny, denom, 1.0).astype(cdtype)
+        c_j = h0 / denom
+        s_j = h1 / denom
+        cs = cs.at[j].set(c_j)
+        sn = sn.at[j].set(s_j)
+        H = H.at[j, j].set(jnp.conj(c_j) * h0 + jnp.conj(s_j) * h1)
+        H = H.at[j + 1, j].set(0.0)
+        g = g.at[j + 1].set(-s_j * g[j])
+        g = g.at[j].set(jnp.conj(c_j) * g[j])
+        return (V, Z, H, g, cs, sn)
+
+    V, Z, H, g, cs, sn = lax.fori_loop(0, m, arnoldi_step,
+                                       (V, Z, H, g, cs, sn))
+
+    def back(jj, y):
+        j = m - 1 - jj
+
+        def inner(i, s):
+            return s + jnp.where(i > j, H[j, i] * y[i], 0.0)
+        s = lax.fori_loop(0, m, inner, jnp.zeros((), cdtype))
+        hjj = H[j, j]
+        hjj = jnp.where(jnp.abs(hjj) > tiny, hjj, 1.0)
+        return y.at[j].set((g[j] - s) / hjj)
+    y = lax.fori_loop(0, m, back, jnp.zeros((m,), cdtype))
+
+    def accum(j, x):
+        return x + y[j] * Z[j]
+    x = lax.fori_loop(0, m, accum, x0)
+    r = b - matvec(x)
+    bnorm = _norm(b)
+    bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
+    return BicgstabResult(x, jnp.full((), m, jnp.int32), _norm(r) / bnorm)
+
+
+def fgmres(matvec, b, M=None, x0=None, tol=1e-6, maxiter=1000,
+           restart=40):
+    '''
+    Restarted flexible GMRES built from ``fgmres_cycle``; ``maxiter``
+    counts OUTER Arnoldi steps (matvecs on the outer operator), matching
+    ``gmres`` semantics.
+    '''
+
+    ncycles = max(1, maxiter // restart)
+    bnorm = _norm(b)
+    bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
+
+    def cond(state):
+        x, k, rr = state
+        return (rr > tol) & (k < ncycles)
+
+    def body(state):
+        x, k, rr = state
+        res = fgmres_cycle(matvec, b, M=M, x0=x, m=restart)
+        return (res.x, k + 1, res.relres)
+
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = _norm(b - matvec(x0)) / bnorm
+    x, k, rr = lax.while_loop(cond, body,
+                              (x0, jnp.zeros((), jnp.int32), r0))
+    return BicgstabResult(x, k * restart, rr)
+
+
 def gmres(matvec, b, M=None, x0=None, tol=1e-6, maxiter=1000, restart=40):
     '''
     Restarted GMRES built from ``gmres_cycle``: runs full cycles until
