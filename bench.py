@@ -110,38 +110,40 @@ def _peak_bw(device_kind):
     return None
 
 
-def _traffic_model(n, B, chunk_krylov):
+def _traffic_model(n, B, chunk_krylov, nsrc=16):
     '''
     Modeled HBM traffic per outer Krylov iteration per RHS, in bytes —
     the auditable basis of the reported bandwidth utilization. Counted
-    streams (complex64 = 8 B/elem; every vmapped RHS lane re-streams
-    the shared coefficient planes, which is the physical behavior of
-    the batched Pallas kernels):
+    streams (complex64 = 8 B/elem). The batched Pallas kernels keep the
+    RHS batch as the INNERMOST grid axis, so the shared coefficient-
+    plane tiles stay VMEM-resident across the batch (Mosaic dedupes
+    same-index block fetches): plane streams amortize over ``nsrc``.
 
     scalar (B=1) BiCGStab step with the fused hybrid preconditioner:
-    - 2 matvecs: 9 true planes + read x + write y      = 2 x 11 F
-    - 2 precond applies, each: fused downstroke (read r, 9 precond
+    - 2 matvecs: (9/nsrc) true planes + read x + write y
+    - 2 precond applies, each: fused downstroke (read r, 9/nsrc precond
       planes, write smoothed iterate, write coarse residual ~0.25 F),
       stratified PCR at half grid (~1.5 F: FFT passes + bf16 factor
       stream), coarse V-cycle tail (~0.7 F), fused upstroke (read
-      coarse correction ~0.25 F, 9 precond planes, read r, r/w x)
-                                                       = 2 x ~25.7 F
-    - BiCGStab vector updates + dots                   = ~12 F
-    total ~ 85 F, F = n^2 * 8 B.
+      coarse correction ~0.25 F, 9/nsrc precond planes, read r, r/w x)
+    - BiCGStab vector updates + dots ~ 12 F
+    F = n^2 * 8 B.
 
     block (B=2) GMRES step: one block matvec (4 x 9 half-size plane
-    families ~ 18 F_B + r/w fields 2 F_B), one precond (block line
-    smoother + transfers ~ 22 F_B), Arnoldi orthogonalization
+    families ~ 18 F_B / nsrc + r/w fields 2 F_B), one precond (block
+    line smoother + transfers ~ 22 F_B), Arnoldi orthogonalization
     (~restart/2 basis reads + 4 F_B updates), F_B = B n^2 * 8 B.
     '''
 
     F = n * n * 8
     if B == 1:
-        terms = {'matvec': 2 * 11 * F, 'precond': 2 * 25.7 * F,
+        pl = 9.0 / max(nsrc, 1)
+        terms = {'matvec': 2 * (pl + 2) * F,
+                 'precond': 2 * (2 * pl + 6.2) * F,
                  'krylov_vec': 12 * F}
     else:
         FB = B * n * n * 8
-        terms = {'matvec': (18 + 2) * FB,
+        terms = {'matvec': (18.0 / max(nsrc, 1) + 2) * FB,
                  'precond': 22 * FB,
                  'krylov_vec': (chunk_krylov / 2 + 4) * FB}
     return sum(terms.values()), {k: round(v / 1e6, 1)
@@ -219,7 +221,7 @@ def measure_tpu(n, nsrc, medium='hom'):
 
     # roofline accounting: modeled HBM bytes moved per iteration x
     # iterations x RHS count over the measured wall-clock, vs chip peak
-    bytes_per_iter, terms = _traffic_model(n, 1, chunk)
+    bytes_per_iter, terms = _traffic_model(n, 1, chunk, nsrc=nsrc)
     achieved = bytes_per_iter * int(iters) * nsrc / t
     kind = getattr(jax.devices()[0], 'device_kind', '')
     peak = _peak_bw(str(kind))
@@ -313,7 +315,7 @@ def measure_eurus(n, nsrc, medium='hom'):
     _, iters, relres = solver(op, b)
     t = time.time() - t0
 
-    bytes_per_iter, terms = _traffic_model(n, 2, chunk)
+    bytes_per_iter, terms = _traffic_model(n, 2, chunk, nsrc=nsrc)
     achieved = bytes_per_iter * int(iters) * nsrc / t
     peak = _peak_bw(str(getattr(jax.devices()[0], 'device_kind', '')))
     return nsrc / t, {'iters': int(iters), 'relres': float(relres),

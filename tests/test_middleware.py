@@ -141,6 +141,54 @@ def test_misfit_gradient_finite_difference():
     assert abs(fd - pred) / abs(fd) < 1e-3
 
 
+def test_fields_alias_machinery():
+    '''
+    Alias fields (reference fields.py:50-117): a declared alias reads as
+    func(stored panels) per frequency with Fortran-order deflation, and
+    is read-only.
+    '''
+
+    class Mesh:
+        nN = 6
+
+    class Survey:
+        nSrc = 2
+        nfreq = 3
+        srcList = ['s0', 's1']
+
+    class AliasedFields(HelmFields):
+        aliasFields = {'phi': ('u', 'N', '_phi')}
+
+        def _phi(self, u, srcs, ifreq):
+            return (int(ifreq) + 1.0) * u
+
+    f = AliasedFields(Mesh(), Survey())
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((6, 2, 3)) \
+        + 1j * rng.standard_normal((6, 2, 3))
+    f[:, 'u', :] = data
+    assert np.allclose(f[:, 'u', :], data)
+
+    # single-frequency alias read
+    assert np.allclose(f[:, 'phi', 1], 2.0 * data[:, :, 1])
+    # multi-frequency alias read: per-freq func + concat
+    phi = f[:, 'phi', :]
+    expected = np.stack([(i + 1.0) * data[:, :, i] for i in range(3)],
+                        axis=2)
+    assert phi.shape == (6, 2, 3)
+    assert np.allclose(phi, expected)
+    # alias with a source-instance key
+    phi0 = f['s1', 'phi', 0]
+    assert np.allclose(phi0.ravel(), data[:, 1, 0])
+
+    # aliases are read-only; scalar sets work on stored fields
+    with pytest.raises(KeyError):
+        f[:, 'phi', 0] = 0.
+    f[0, 'u', 0] = 3.0
+    assert f[:, 'u', 0][0, 0] == 3.0
+    assert 'phi' in f and 'u' in f
+
+
 def test_precision_aware_tolerance_shared():
     '''
     The precision-aware default tolerance (complex64 -> 1e-5) is applied
