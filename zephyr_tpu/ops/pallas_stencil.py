@@ -958,7 +958,36 @@ def pallas_block_applicable(planes, u):
 # ---------------------------------------------------------------------------
 
 
-def _pas_kernel(pr_hbm, pi_hbm, dr_hbm, di_hbm, mr_hbm,
+def _prolong_mats(TZ, TX):
+    '''
+    Banded tent-interpolation matrices for prolonging a (TZh+2, TXh+2)
+    coarse halo block to a fine (TZ+2, TX+2) block: fine = Pz @ e @ PxT.
+    Row i of the zero-interleaved+tent-filtered fine axis draws from
+    coarse j with weights 1.0 (2j == i+1) and 0.5 (2j == i or i+2) —
+    the same [0.5, 1, 0.5] tent the previous in-kernel interleave
+    expressed, now as MXU matmuls (Mosaic's vector layout inference
+    rejects the (n, m, 2) -> (n, 2m) interleaving shape cast).
+    '''
+
+    TZh, TXh = TZ // 2, TX // 2
+    Pz = np.zeros((TZ + 2, TZh + 2), np.float32)
+    for i in range(TZ + 2):
+        for j in range(TZh + 2):
+            if 2 * j == i + 1:
+                Pz[i, j] += 1.0
+            if 2 * j == i or 2 * j == i + 2:
+                Pz[i, j] += 0.5
+    PxT = np.zeros((TXh + 2, TX + 2), np.float32)
+    for p in range(TX + 2):
+        for q in range(TXh + 2):
+            if 2 * q == p + 1:
+                PxT[q, p] += 1.0
+            if 2 * q == p or 2 * q == p + 2:
+                PxT[q, p] += 0.5
+    return Pz, PxT
+
+
+def _pas_kernel(pz_ref, pxT_ref, pr_hbm, pi_hbm, dr_hbm, di_hbm, mr_hbm,
                 br_hbm, bi_hbm, ur_hbm, ui_hbm, er_hbm, ei_hbm,
                 or_ref, oi_ref,
                 p_tile, d_tile, m_tile, bu_tile, e_tile, sem_c, sem_s,
@@ -1053,17 +1082,17 @@ def _pas_kernel(pr_hbm, pi_hbm, dr_hbm, di_hbm, mr_hbm,
     ui = bu_tile[slot, 3]
 
     # prolong the (TZh+2, TXh+2) coarse halo block to fine (TZ+2, TX+2):
-    # zero-interleave, then separable [0.5, 1, 0.5] tent; interleaved
-    # index k maps to fine row (iz*TZ - 1) + (k - 1)
+    # zero-interleave + separable [0.5, 1, 0.5] tent, expressed as two
+    # banded MXU matmuls (see _prolong_mats); interleaved index k maps
+    # to fine row (iz*TZ - 1) + (k - 1)
+    pz = pz_ref[...]
+    pxT = pxT_ref[...]
+
     def _prolong_part(e_sub):
-        SZc, SXc = TZh + 2, TXh + 2
-        zx = jnp.stack([e_sub, jnp.zeros_like(e_sub)], axis=-1)
-        zx = zx.reshape(SZc, 2 * SXc)
-        zz = jnp.stack([zx, jnp.zeros_like(zx)], axis=-2)
-        I = zz.reshape(2 * SZc, 2 * SXc)                  # (TZ+4, TX+4)
-        A = I[1:TZ + 3, :] + 0.5 * (I[0:TZ + 2, :] + I[2:TZ + 4, :])
-        return (A[:, 1:TX + 3]
-                + 0.5 * (A[:, 0:TX + 2] + A[:, 2:TX + 4]))  # (TZ+2, TX+2)
+        t = lax.dot(pz, e_sub, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)
+        return lax.dot(t, pxT, preferred_element_type=jnp.float32,
+                       precision=lax.Precision.HIGHEST)  # (TZ+2, TX+2)
 
     SZ, SX = TZ + 2, TX + 2
     p_re = _prolong_part(e_tile[slot, 0, :TZh + 2, :TXh + 2])
@@ -1118,11 +1147,17 @@ def prolong_add_smooth_pallas_batched(planes, dinv_eff, mask, b, u, ec,
 
     R = b.shape[0]
     grid = (nz // TZ, nx // TX, R)
+    Pz, PxT = _prolong_mats(TZ, TX)
     kernel = partial(_pas_kernel, TZ=TZ, TX=TX)
     out_r, out_i = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 11,
+        in_specs=[
+            pl.BlockSpec(Pz.shape, lambda i, j, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(PxT.shape, lambda i, j, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * 11,
         out_specs=[
             pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
                          memory_space=pltpu.VMEM)] * 2,
@@ -1137,7 +1172,7 @@ def prolong_add_smooth_pallas_batched(planes, dinv_eff, mask, b, u, ec,
             pltpu.SemaphoreType.DMA((2, 6)),
         ],
         interpret=interpret,
-    )(pr, pi, dr, di, mr,
+    )(jnp.asarray(Pz), jnp.asarray(PxT), pr, pi, dr, di, mr,
       jnp.real(bp).astype(jnp.float32), jnp.imag(bp).astype(jnp.float32),
       jnp.real(up).astype(jnp.float32), jnp.imag(up).astype(jnp.float32),
       jnp.real(ep).astype(jnp.float32), jnp.imag(ep).astype(jnp.float32))
