@@ -349,3 +349,126 @@ def test_fgmres_cycle_variable_preconditioner_exact():
     rel = np.linalg.norm(np.asarray(res.x) - x_direct) \
         / np.linalg.norm(x_direct)
     assert rel < 1e-8, rel
+
+
+def test_panel_weights_partition_of_unity():
+    '''
+    The x-panel blend weights must scatter-sum to exactly 1 everywhere
+    (any leak scales the preconditioner and costs iterations), for
+    divisible and non-divisible nx and clamped edge windows.
+    '''
+    from zephyr_tpu.solver.stratified import panel_layout, panel_weights
+
+    for nx, P, ov in ((256, 4, 16), (96, 3, 8), (100, 4, 7), (64, 8, 4)):
+        starts, W = panel_layout(nx, P, ov)
+        w = np.asarray(panel_weights(nx, P, ov), np.float64)
+        assert w.shape == (P, W)
+        cover = np.zeros(nx)
+        for p, s in enumerate(starts):
+            cover[s:s + W] += w[p]
+        assert np.allclose(cover, 1.0, atol=1e-6), (nx, P, ov)
+
+
+@pytest.mark.slow
+def test_panel_stratified_matches_lu():
+    '''
+    The x-panelled stratified interior solve (strat_panels > 1) is
+    preconditioner-internal: solutions on a laterally-varying medium
+    must still match sparse LU to the BASELINE 1e-5 agreement.
+    '''
+    cfg = SolverConfig(tol=1e-8, maxiter=600, strat_panels=4,
+                       strat_overlap=8, mg_min_size=16)
+    nz, nx = 96, 128
+    x = jnp.arange(nx, dtype=jnp.float64)[None, :] * jnp.ones((nz, 1))
+    c = (1500.0 * (1.0 + x / nx)).astype(jnp.complex128)  # lateral trend
+    rho = jnp.ones((nz, nx))
+    planes = minizephyr_planes(c, rho, 120.0)[None, None]
+    pplanes = minizephyr_planes(shifted_velocity(c, cfg.shift), rho,
+                                120.0, pml_cap=cfg.pml_cap)[None, None]
+    op = prepare_operator(planes, pplanes, cfg, with_transpose=False)
+    q = np.zeros((1, nz, nx), dtype=np.complex128)
+    q[0, 30, 40] = 1.0
+    xs = np.asarray(solve(op, jnp.asarray(q), cfg)).ravel()
+    lu = _lu(op.planes)
+    x_lu = lu.solve(q.ravel())
+    assert np.linalg.norm(xs - x_lu) / np.linalg.norm(x_lu) < 1e-5
+
+
+@pytest.mark.slow
+def test_panel_gradient_matches_dense_autodiff():
+    '''
+    The panel transpose path (blend weights applied on the INPUT with
+    the transposed tridiagonal family) feeds custom_linear_solve
+    transpose solves: the implicit-function gradient with
+    strat_panels > 1 must match dense-solve autodiff exactly.
+    '''
+    cfg = SolverConfig(tol=1e-11, maxiter=600, strat_panels=3,
+                       strat_overlap=6, mg_min_size=16)
+    n = 40
+    freq = 120.0
+    rho = jnp.ones((n, n))
+    rng = np.random.default_rng(7)
+    c0 = jnp.asarray(2000.0 + 150.0 * rng.standard_normal((n, n)))
+    q = np.zeros((1, n, n), dtype=np.complex128)
+    q[0, 20, 15] = 1.0
+    qj = jnp.asarray(q)
+
+    def loss_iterative(c):
+        planes = minizephyr_planes(c.astype(jnp.complex128), rho,
+                                   freq)[None, None]
+        pplanes = minizephyr_planes(
+            shifted_velocity(c.astype(jnp.complex128), cfg.shift), rho,
+            freq, pml_cap=cfg.pml_cap)[None, None]
+        op = prepare_operator(planes, pplanes, cfg, with_transpose=True)
+        u = solve(op, qj, cfg)
+        return jnp.sum(jnp.abs(u) ** 2)
+
+    def loss_dense(c):
+        from zephyr_tpu.ops.stencil import planes_to_dense_jax
+        planes = minizephyr_planes(c.astype(jnp.complex128), rho,
+                                   freq)[None, None]
+        A = planes_to_dense_jax(planes)
+        u = jnp.linalg.solve(A, qj.ravel())
+        return jnp.sum(jnp.abs(u) ** 2)
+
+    g_it = jax.grad(loss_iterative)(c0)
+    g_dn = jax.grad(loss_dense)(c0)
+    rel = float(jnp.linalg.norm(g_it - g_dn) / jnp.linalg.norm(g_dn))
+    assert rel < 1e-6
+
+
+@pytest.mark.slow
+def test_panel_stratified_cuts_marmousi_iterations():
+    '''
+    The panels exist to cut iteration counts on laterally-heterogeneous
+    (Marmousi-style) media (VERDICT round-2 item 5): at 128^2 the
+    4-panel solve measured 48 outer iterations vs 64 global. Guard the
+    ordering (panels must never be WORSE) with slack for BiCGStab noise.
+    '''
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    from bench import _marmousi_c
+    from zephyr_tpu.solver.helmholtz import solve_info
+
+    n = 128
+    freq = 1500.0 / 16.0
+    c = jnp.asarray(_marmousi_c(n, np.float64)).astype(jnp.complex128)
+    rho = jnp.ones((n, n))
+    base = dict(tol=1e-5, maxiter=2000, mg_coarse='inv', mg_min_size=32,
+                fft_mode='strat', fft_scale=2, hybrid_comp='fused',
+                mg_nu1=2, mg_nu2=1)
+    q = jnp.zeros((1, n, n), jnp.complex128).at[0, n // 2, n // 2].set(1.)
+    iters = {}
+    for name, extra in (('global', {}),
+                        ('panels', dict(strat_panels=4))):
+        cfg = SolverConfig(**dict(base, **extra))
+        planes = minizephyr_planes(c, rho, freq)[None, None]
+        pplanes = minizephyr_planes(shifted_velocity(c, cfg.shift), rho,
+                                    freq, pml_cap=cfg.pml_cap)[None, None]
+        op = prepare_operator(planes, pplanes, cfg, with_transpose=False)
+        _, its, relres = solve_info(op, q, cfg)
+        assert float(relres) < 1e-5
+        iters[name] = int(its)
+    assert iters['panels'] <= iters['global'] + 4, iters

@@ -83,6 +83,17 @@ VARIANTS = {
     'nu33': dict(mg_nu1=3, mg_nu2=2),
     'mode2d': dict(fft_mode='2d'),
     'line': dict(mg_smoother='line'),
+    'panels2': dict(strat_panels=2),
+    'panels4': dict(strat_panels=4),
+    'panels8': dict(strat_panels=8),
+    'panels4_ov32': dict(strat_panels=4, strat_overlap=32),
+    'panels4_mult': dict(strat_panels=4, hybrid_comp='mult'),
+    'shift25': dict(fft_shift=0.25j),
+    'panels4_shift25': dict(strat_panels=4, fft_shift=0.25j),
+    'panels4_shift10': dict(strat_panels=4, fft_shift=0.10j),
+    'panels8_shift25': dict(strat_panels=8, fft_shift=0.25j),
+    'panels4_ov32_s25': dict(strat_panels=4, strat_overlap=32,
+                             fft_shift=0.25j),
 }
 
 

@@ -116,6 +116,14 @@ class SolverConfig(NamedTuple):
                               #   fine matvec deduplicated (~25% cheaper
                               #   per application). Transpose solves fall
                               #   back to 'mult'.
+    strat_panels: int = 1     # x-panel count of the stratified interior
+                              # solve: 1 = global per-row means; P > 1
+                              # partitions x into P overlapping panels
+                              # (partition-of-unity blend) whose per-row
+                              # means capture LATERAL velocity structure
+                              # — the Marmousi-style iteration cure
+                              # (scalar operators only)
+    strat_overlap: int = 16   # panel overlap halo (cells per side)
     fft_mode: str = 'strat'   # 'strat' (default) = depth-stratified
                               # interior solve (per-row mean
                               # coefficients, x-FFT + tridiagonal-in-z
@@ -339,9 +347,17 @@ def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
         else:
             src_true, src_pp = lax.stop_gradient(planes), pp
         if config.fft_mode == 'strat' and planes.shape[0] == 1:
-            from .stratified import stratified_coeffs, pcr_precompute
-            l, d, u = stratified_coeffs(src_true, src_pp, config.shift,
-                                        config.fft_shift)
+            from .stratified import (stratified_coeffs,
+                                     stratified_coeffs_panels,
+                                     pcr_precompute)
+            if config.strat_panels > 1:
+                l, d, u = stratified_coeffs_panels(
+                    src_true, src_pp, config.shift, config.fft_shift,
+                    config.strat_panels, config.strat_overlap)
+            else:
+                l, d, u = stratified_coeffs(src_true, src_pp,
+                                            config.shift,
+                                            config.fft_shift)
             strat = pcr_precompute(l, d, u)
         elif config.fft_mode == 'strat' and planes.shape[0] == 2:
             from .stratified import (stratified_coeffs_block,
@@ -435,21 +451,34 @@ def _make_precond(op, config, transpose=False):
 
         if op.strat is not None:
             from .stratified import (StratPCRBlock, stratified_apply,
-                                     stratified_apply_block)
-            spec_shape = op.strat.dinv.shape[-2:]
-            strat_fn = (stratified_apply_block
-                        if isinstance(op.strat, StratPCRBlock)
-                        else stratified_apply)
+                                     stratified_apply_block,
+                                     stratified_apply_panels,
+                                     panel_layout)
+            is_block = isinstance(op.strat, StratPCRBlock)
+            # the panel layout concatenates P windows along x, so the
+            # full-vs-reduced-resolution decision below keys on nz only
+            # (2:1 coarsening always halves nz; the bf16 pack only adds a
+            # LEADING re/im axis, so shape[-2] is always nz)
+            spec_nz = op.strat.dinv.shape[-2]
+            if not is_block and config.strat_panels > 1:
+                def P0(r):
+                    return stratified_apply_panels(
+                        op.strat, r, config.strat_panels,
+                        config.strat_overlap, transpose=transpose)
+            else:
+                strat_fn = (stratified_apply_block if is_block
+                            else stratified_apply)
 
-            def P0(r):
-                # P^T is applied as the algebraic transpose of the same
-                # tridiagonal family (the x-DFT matrix is symmetric)
-                return strat_fn(op.strat, r, transpose=transpose)
+                def P0(r):
+                    # P^T is applied as the algebraic transpose of the
+                    # same tridiagonal family (the x-DFT matrix is
+                    # symmetric)
+                    return strat_fn(op.strat, r, transpose=transpose)
         else:
             sinv = op.fft_sinv
             if transpose:
                 sinv = jnp.swapaxes(sinv, 0, 1)
-            spec_shape = sinv.shape[-2:]
+            spec_nz = sinv.shape[-2]
 
             def _sinv_apply(R):
                 # explicit block multiply-add (B <= 2): einsum would
@@ -476,7 +505,7 @@ def _make_precond(op, config, transpose=False):
         nzf, nxf = planes.shape[-2:]
         if (config.hybrid_comp == 'fused' and not transpose
                 and op.cplanes is not None and len(hier.levels) > 1
-                and spec_shape != (nzf, nxf)):
+                and spec_nz != nzf):
             # fused hybrid cycle: the PCR interior solve becomes the
             # level-1 coarse-grid boost of ONE V-cycle — fine pre-smooth,
             # restricted residual, xc = PCR rc, residual against the
@@ -501,7 +530,7 @@ def _make_precond(op, config, transpose=False):
                                           config.mg_omega, config.mg_nu2)
 
         else:
-            if spec_shape == (nzf, nxf):
+            if spec_nz == nzf:
                 P = P0
             else:
                 # reduced-resolution spectral solve (fft_scale=2):

@@ -479,6 +479,176 @@ def stratified_coeffs(planes, precond_planes, shift, fft_shift,
     return tuple(bands)   # (l, d, u)
 
 
+# ---------------------------------------------------------------------------
+# x-panelled stratification: the per-row mean misses LATERAL velocity
+# structure (Marmousi-style media measured ~200+ outer iterations at
+# 512^2 where layered media run ~40). Partition x into ``npanels``
+# overlapping panels blended by a partition of unity; per panel, take
+# per-row means over ITS x-window, solve per-panel x-FFT + z-PCR, and
+# scatter-add the weighted panel solutions. Captures piecewise-lateral
+# trends at ~(1 + 2 P overlap / nx) the cost of the global solve. The
+# panels concatenate along x, so the PCR machinery applies unchanged.
+# ---------------------------------------------------------------------------
+
+
+def panel_layout(nx, npanels, overlap):
+    '''
+    Static panel windows: cores of width C = nx // npanels (the last
+    core absorbs the remainder), each window extended by ``overlap`` on
+    both sides and clamped to the domain; all windows share one width W
+    (static shapes). Returns (starts tuple, W).
+    '''
+
+    C = nx // npanels
+    W = min(nx, C + (nx - C * (npanels - 1)) % max(C, 1) + 2 * overlap)
+    starts = []
+    for p in range(npanels):
+        s = p * C - overlap
+        starts.append(max(0, min(s, nx - W)))
+    return tuple(starts), W
+
+
+def panel_weights(nx, npanels, overlap, dtype=np.float32):
+    '''
+    Partition-of-unity blend weights, (P, W): tent ramps of length
+    ``overlap`` at interior panel edges, flat elsewhere, normalized so
+    the pointwise sum over panels is exactly 1 everywhere.
+    '''
+
+    starts, W = panel_layout(nx, npanels, overlap)
+    ramp = max(overlap, 1)
+    w = np.zeros((npanels, nx), np.float64)
+    for p, s in enumerate(starts):
+        x = np.arange(s, s + W)
+        up = np.minimum(1.0, (x - s + 1) / ramp)
+        dn = np.minimum(1.0, (s + W - x) / ramp)
+        w[p, s:s + W] = np.minimum(up, dn)
+    # pointwise normalization: interior overlaps blend 50/50 at panel
+    # joins; cells covered by a single panel (incl. the domain edges,
+    # where the tent would otherwise taper against nothing) get 1
+    w /= np.maximum(w.sum(axis=0, keepdims=True), 1e-30)
+    out = np.zeros((npanels, W), np.float64)
+    for p, s in enumerate(starts):
+        out[p] = w[p, s:s + W]
+    return out.astype(dtype)
+
+
+def stratified_coeffs_panels(planes, precond_planes, shift, fft_shift,
+                             npanels, overlap):
+    '''
+    Per-panel stratified tridiagonal coefficients for a scalar operator:
+    (l, d, u), each (nz, P * W) — panel p occupies columns [p*W, (p+1)*W)
+    — plus per-panel kx built from the panel width W. The 'auto'
+    fft_shift resolves PER PANEL from the within-panel row-residual
+    contrast, so locally-layered panels get the tight shift.
+    '''
+
+    assert planes.shape[0] == 1, 'panel stratified: scalar operators only'
+    nz, nx = planes.shape[-2:]
+    starts, W = panel_layout(nx, npanels, overlap)
+    # interior x-columns for the mean (exclude the x-PML frames)
+    xlo, xhi = nx // 8, nx - nx // 8
+
+    kx = (2 * jnp.pi) * jnp.fft.fftfreq(W).astype(
+        jnp.real(planes).dtype)
+    shift = jnp.asarray(shift, dtype=planes.dtype)
+
+    bands_all = [[], [], []]
+    for s in starts:
+        a, b = max(s, xlo), min(s + W, xhi)
+        if b <= a:          # panel fully inside a PML frame: use window
+            a, b = s, s + W
+        c0 = jnp.mean(planes[0, 0, :, :, a:b], axis=-1)          # (9, nz)
+        cP = jnp.mean(precond_planes[0, 0, :, :, a:b], axis=-1)
+        cM = (c0 - cP) / shift
+
+        fshift = fft_shift
+        if isinstance(fshift, str):  # 'auto', per panel
+            from ..ops.stencil import CENTER
+            z0, z1 = nz // 4, max(nz // 4 + 1, (3 * nz) // 4)
+            mass = (planes[0, 0, CENTER, z0:z1, a:b]
+                    - precond_planes[0, 0, CENTER, z0:z1, a:b]) / shift
+            ma = jnp.abs(mass)
+            tiny = jnp.finfo(ma.dtype).tiny
+            row_mean = jnp.maximum(jnp.mean(ma, axis=-1, keepdims=True),
+                                   tiny)
+            man = ma / row_mean
+            contrast = jnp.sqrt(jnp.max(man)
+                                / jnp.maximum(jnp.min(man), tiny))
+            fshift = jnp.where(contrast < 1.05, 0.03, 0.25) * 1j
+        cF = c0 - jnp.asarray(fshift).astype(c0.dtype) * cM      # (9, nz)
+
+        for i, dz in enumerate((-1, 0, 1)):
+            acc = None
+            for dx in (-1, 0, 1):
+                k = (dz + 1) * 3 + (dx + 1)
+                phase = jnp.exp(1j * kx * dx).astype(cF.dtype)   # (W,)
+                term = cF[k][:, None] * phase[None, :]
+                acc = term if acc is None else acc + term
+            bands_all[i].append(acc)                              # (nz, W)
+
+    return tuple(jnp.concatenate(b, axis=-1) for b in bands_all)
+
+
+def _panel_gather(r, starts, W):
+    '(..., nz, nx) -> (..., nz, P*W) panel-window gather.'
+    return jnp.concatenate([r[..., s:s + W] for s in starts], axis=-1)
+
+
+def _panel_scatter(xp, starts, W, nx):
+    '(..., nz, P*W) -> (..., nz, nx) overlapping scatter-add.'
+    out = jnp.zeros(xp.shape[:-1] + (nx,), xp.dtype)
+    for p, s in enumerate(starts):
+        out = out.at[..., s:s + W].add(xp[..., p * W:(p + 1) * W])
+    return out
+
+
+def _panel_fft(rp, P, W, axis_inverse=False):
+    'Per-panel FFT along x: (..., nz, P*W) blockwise of width W.'
+    shp = rp.shape[:-1] + (P, W)
+    rps = rp.reshape(shp)
+    out = jnp.fft.ifft(rps, axis=-1) if axis_inverse \
+        else jnp.fft.fft(rps, axis=-1)
+    return out.reshape(rp.shape)
+
+
+def stratified_apply_panels(strat, r, npanels, overlap, transpose=False,
+                            delta=1e-6):
+    '''
+    Apply the x-panelled stratified interior inverse to (..., 1, nz, nx):
+    gather panel windows, per-panel x-FFT, z-PCR solve over the
+    concatenated panel columns, inverse FFT, partition-of-unity blend,
+    overlapping scatter-add. The transpose path applies the blend
+    weights on the INPUT (the algebraic transpose of weighting the
+    output) with the transposed tridiagonal family.
+    '''
+
+    nx = r.shape[-1]
+    starts, W = panel_layout(nx, npanels, overlap)
+    P = len(starts)
+    wts = jnp.asarray(panel_weights(nx, npanels, overlap))  # (P, W)
+    wflat = wts.reshape(P * W).astype(jnp.real(r).dtype)
+
+    pre = isinstance(strat, StratPCR)
+    if transpose:
+        ldu = strat.ldu if pre else strat
+        l, d, u = transpose_strat(tuple(ldu))
+        rp = _panel_gather(r, starts, W) * wflat
+        rhat = _panel_fft(rp, P, W, axis_inverse=True)
+        xhat = tridiag_pcr_solve(l, d, u, rhat, delta=delta)
+        xp = _panel_fft(xhat, P, W)
+        return _panel_scatter(xp, starts, W, nx)
+    rp = _panel_gather(r, starts, W)
+    rhat = _panel_fft(rp, P, W)
+    if pre:
+        xhat = pcr_apply(strat, rhat)
+    else:
+        l, d, u = strat
+        xhat = tridiag_pcr_solve(l, d, u, rhat, delta=delta)
+    xp = _panel_fft(xhat, P, W, axis_inverse=True) * wflat
+    return _panel_scatter(xp, starts, W, nx)
+
+
 def transpose_strat(strat):
     '''
     Tridiagonal coefficients of the transposed stratified operator:
