@@ -56,9 +56,15 @@ def _common_setup():
 
 def _solver_cfg():
     from zephyr_tpu.solver.helmholtz import SolverConfig
+    extra = {}
+    panels = int(os.environ.get('ZT_BENCH_PANELS', 0))
+    if panels > 1:
+        extra = dict(strat_panels=panels,
+                     strat_overlap=int(os.environ.get('ZT_BENCH_OVERLAP',
+                                                      16)))
     return SolverConfig(tol=1e-5, maxiter=2000, mg_coarse='inv',
                         mg_min_size=32, fft_mode='strat', fft_scale=2,
-                        hybrid_comp='fused', mg_nu1=2, mg_nu2=1)
+                        hybrid_comp='fused', mg_nu1=2, mg_nu2=1, **extra)
 
 
 def _layered_c(n, dtype=np.float32):

@@ -45,7 +45,10 @@ def pad_stamps(rows, cols, vals, n, pad_to=None):
         cols_p[r, k] = c
         vals_p[r, k] = v
         cursor[r] += 1
-    return jnp.asarray(cols_p), jnp.asarray(vals_p)
+    # host numpy out: complex host->device transfer is unimplemented on
+    # the axon TPU runtime, so device placement is the CALLER's choice
+    # (realio.to_device_complex / device_put_c for the re/im boundary)
+    return cols_p, vals_p
 
 
 def inject(cols, vals, nz, nx):

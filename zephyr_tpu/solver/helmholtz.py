@@ -656,7 +656,19 @@ def make_chunked_solver(config=SolverConfig(), chunk=64):
             elif krylov == 'gmres':
                 res = gmres_cycle(mv, r, M=M, m=chunk)
             else:
-                res = bicgstab(mv, r, M=M, tol=config.tol, maxiter=chunk)
+                # rescale the chunk tolerance so the stop target stays
+                # tol * ||b|| GLOBALLY: BiCGStab solves the correction
+                # system A dx = r, and a plain relative tol against
+                # ||r|| would force every chunk to converge 1e-5
+                # RELATIVE TO THE CURRENT RESIDUAL — the final chunk
+                # then overshoots by up to a whole chunk of iterations
+                # (measured: 64 instead of ~50 at 2048^2 homogeneous,
+                # 20% of the headline wall-clock)
+                bnorm0 = jnp.linalg.norm(bi)
+                rnorm = jnp.linalg.norm(r)
+                tiny = jnp.finfo(rnorm.dtype).tiny
+                tol_c = config.tol * bnorm0 / jnp.maximum(rnorm, tiny)
+                res = bicgstab(mv, r, M=M, tol=tol_c, maxiter=chunk)
             xi = xi + res.x
             bnorm = jnp.linalg.norm(bi)
             bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
