@@ -17,8 +17,12 @@ Additional recorded cases (in "detail"):
 - gradient: FWI misfit+gradient wall-clock at scale via the chunked
   adjoint-state driver, vs the LU-gradient estimate.
 
-Prints ONE JSON line:
+Prints the result JSON line
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+after EVERY completed row (flushed; the driver reads the last line, so a
+mid-run kill still leaves the newest complete result parseable), and the
+whole run — probe, headline, LU baseline, extras — is budgeted against
+ZT_BENCH_TOTAL_BUDGET so it finishes inside the driver's timeout.
 '''
 
 import json
@@ -241,6 +245,49 @@ def measure_tpu(n, nsrc, medium='hom'):
         'device_kind': str(kind),
     }
 
+    if medium == 'hom' and os.environ.get('ZT_BENCH_COMPONENTS',
+                                          '1') != '0':
+        # per-component wall-clock/bandwidth breakdown (localizes where
+        # the headline's achieved bandwidth goes: kernels vs the
+        # dispatch/reduction glue between them) — the in-bench version
+        # of tools/profile_components.py
+        from zephyr_tpu.ops.stencil import apply_block_stencil_fast
+        from zephyr_tpu.solver.helmholtz import _make_precond
+
+        def _time_rio(fn, arg, reps=5):
+            out = fn(arg)
+            jax.block_until_ready(jax.tree_util.tree_leaves(out))
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = fn(arg)
+                jax.block_until_ready(jax.tree_util.tree_leaves(out))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        from zephyr_tpu.core.realio import realio_jit as _rj
+        mv_rio = _rj(lambda v: jax.vmap(
+            lambda vi: apply_block_stencil_fast(op.planes, vi))(v))
+        M = _make_precond(op, cfg)
+        prec_rio = _rj(lambda v: jax.vmap(M)(v))
+        F = n * n * 8
+        t_mv = _time_rio(mv_rio, b)
+        t_pc = _time_rio(prec_rio, b)
+        t_ch = _time_rio(lambda bb: solver(op, bb, max_chunks=1)[0], b)
+        per_iter = t_ch / chunk
+        glue = per_iter - 2 * t_mv - 2 * t_pc
+        info['components'] = {
+            'matvec_ms': round(t_mv * 1e3, 2),
+            'matvec_GBps': round(nsrc * (9. / nsrc + 2) * F / t_mv / 1e9,
+                                 1),
+            'precond_ms': round(t_pc * 1e3, 2),
+            'precond_GBps': round(nsrc * (2 * 9. / nsrc + 6.2) * F
+                                  / t_pc / 1e9, 1),
+            'chunk_per_iter_ms': round(per_iter * 1e3, 2),
+            'glue_ms_per_iter': round(glue * 1e3, 2),
+            'glue_pct': round(100 * glue / per_iter, 1),
+        }
+
     if medium == 'hom':
         # on-chip accuracy pin: solve one centre source and compare to
         # the analytical Green's function on the reference's windowed
@@ -335,7 +382,104 @@ def measure_eurus(n, nsrc, medium='hom'):
                                       if peak else None)}}
 
 
-def measure_gradient(n, nsrc, nfreq):
+def measure_freqblock(n=None, nfreq=16, nsrc=96):
+    '''
+    BASELINE.md staged config 3 as specified: a 16-frequency block with
+    96 sources batched per frequency on the layered model, one chip —
+    the production multi-frequency forward-modelling shape
+    (reference notebooks/Test Inversion.ipynb cell 3 is the same
+    workflow at 100x200/8f/151src). Runs the production chunked
+    per-frequency driver with constant-gridpoints-per-wavelength grid
+    adaptation (the reference's MultiGridMultiFreq semantics,
+    zephyr/backend/distributors.py:384-435). Returns total wall seconds
+    + per-frequency diagnostics.
+    '''
+
+    _common_setup()
+    n = n or int(os.environ.get('ZT_BENCH_FB_N', 1024))
+    nfreq = int(os.environ.get('ZT_BENCH_FB_NFREQ', nfreq))
+    nsrc = int(os.environ.get('ZT_BENCH_FB_NSRC', nsrc))
+
+    import jax.numpy as jnp
+    from zephyr_tpu.core.realio import realio_jit
+    from zephyr_tpu.ops.minizephyr_coeff import minizephyr_planes
+    from zephyr_tpu.parallel.multifreq import freq_grid_plan
+    from zephyr_tpu.backend.interpolation import resample_field
+    from zephyr_tpu.solver.helmholtz import (prepare_operator,
+                                             make_chunked_solver,
+                                             shifted_velocity)
+
+    cfg = _solver_cfg()
+    chunk = int(os.environ.get('ZT_BENCH_CHUNK', 16))
+    cval = 1500.0
+    c_np = _layered_c(n)
+    # one octave up to the headline frequency, constant GPW per freq
+    freqs = np.linspace(0.5, 1.0, nfreq) * (cval / BENCH_WAVELEN_CELLS)
+    plans = freq_grid_plan(n, n, freqs, cval, target_gpw=
+                           BENCH_WAVELEN_CELLS, quantum=max(n // 4, 256))
+
+    def prep_fn(c_real, freq, shape):
+        c = c_real.astype(jnp.complex64)
+        if shape != (n, n):
+            c = resample_field(c, shape)
+        dxf = float(n) / shape[1]
+        rho = jnp.ones(shape, jnp.float32)
+        pk = dict(dx=dxf, dz=float(n) / shape[0])
+        planes = minizephyr_planes(c, rho, freq, **pk)[None, None]
+        pplanes = minizephyr_planes(shifted_velocity(c, cfg.shift), rho,
+                                    freq, pml_cap=cfg.pml_cap,
+                                    **pk)[None, None]
+        return prepare_operator(planes, pplanes, cfg,
+                                with_transpose=False)
+
+    rng = np.random.default_rng(3)
+    solver = make_chunked_solver(cfg, chunk=chunk)
+    prep_by_shape = {}
+
+    def _prep(freq, shape):
+        if shape not in prep_by_shape:
+            prep_by_shape[shape] = realio_jit(
+                lambda cr, f: prep_fn(cr, f, shape))
+        return prep_by_shape[shape](jnp.asarray(c_np),
+                                    jnp.asarray(float(freq)))
+
+    def make_rhs(pos, shape):
+        q = jnp.zeros((pos.shape[0], 1) + shape, jnp.complex64)
+        return q.at[jnp.arange(pos.shape[0]), 0, pos[:, 0],
+                    pos[:, 1]].set(1.0 + 0.0j)
+
+    # warm-up/compile pass: one small solve per distinct shape so the
+    # timed loop measures steady-state throughput, like the other rows
+    for shape in dict.fromkeys(plans):
+        op = _prep(freqs[plans.index(shape)], shape)
+        pos = rng.integers(shape[0] // 8, 7 * shape[0] // 8,
+                           size=(chunk, 2)).astype(np.int32)
+        solver(op, realio_jit(lambda p: make_rhs(p, shape))(pos))
+
+    iters_by_freq = []
+    t0 = time.time()
+    for i, f in enumerate(freqs):
+        shape = plans[i]
+        op = _prep(f, shape)
+        pos = rng.integers(shape[0] // 8, 7 * shape[0] // 8,
+                           size=(nsrc, 2)).astype(np.int32)
+        tot_iters = 0
+        for s0 in range(0, nsrc, chunk):
+            b = realio_jit(lambda p: make_rhs(p, shape))(
+                pos[s0:s0 + chunk])
+            _, iters, relres = solver(op, b)
+            tot_iters += int(iters)
+        iters_by_freq.append(tot_iters // max(1, nsrc // chunk))
+    wall = time.time() - t0
+    import jax
+    return wall, {'grid': n, 'nfreq': nfreq, 'nsrc': nsrc,
+                  'medium': 'layered', 'chunk': chunk,
+                  'grid_plan': sorted(set(plans)),
+                  'iters_by_freq': iters_by_freq,
+                  'device': str(jax.devices()[0])}
+
+
+def measure_gradient(n, nsrc, nfreq, medium='layered'):
     '''
     FWI misfit + gradient wall-clock at scale: chunked adjoint-state
     driver (forward + transpose solves per frequency, explicit gradient)
@@ -352,7 +496,8 @@ def measure_gradient(n, nsrc, nfreq):
 
     cfg = _solver_cfg()
     chunk = int(os.environ.get('ZT_BENCH_CHUNK', 16))
-    c = _layered_c(n, np.float64)
+    c = (_marmousi_c(n, np.float64) if medium == 'marmousi'
+         else _layered_c(n, np.float64))
     rho = np.ones((n, n))
     freqs = np.linspace(0.6, 1.0, nfreq) * (1500.0 / BENCH_WAVELEN_CELLS)
     rng = np.random.default_rng(2)
@@ -372,6 +517,7 @@ def measure_gradient(n, nsrc, nfreq):
     return t_total, {'misfit': float(misfit),
                      'grad_norm': float(np.linalg.norm(grad)),
                      'grid': n, 'nfreq': nfreq, 'nsrc': nsrc,
+                     'medium': medium,
                      'finite': bool(np.isfinite(grad).all())}
 
 
@@ -508,7 +654,12 @@ def _run_measure_only(mode):
             medium='hom' if mode == 'eurus' else 'layered')
         print(json.dumps({'throughput': throughput, 'info': info}))
     elif mode == 'gradient':
-        t_total, info = measure_gradient(BENCH_N, BENCH_NSRC, GRAD_NFREQ)
+        t_total, info = measure_gradient(
+            BENCH_N, BENCH_NSRC, GRAD_NFREQ,
+            medium=os.environ.get('ZT_BENCH_GRAD_MEDIUM', 'layered'))
+        print(json.dumps({'wall_s': t_total, 'info': info}))
+    elif mode == 'freqblock':
+        t_total, info = measure_freqblock()
         print(json.dumps({'wall_s': t_total, 'info': info}))
 
 
@@ -525,44 +676,66 @@ def _flush_partial(result):
         pass
 
 
-def _probe_with_backoff():
+def _probe_with_backoff(window_s):
     '''
-    Probe the TPU runtime with retries spread across a window: the
-    tunnel worker wedges transiently after client crashes (round-2
-    postmortem), and a single failed probe at the wrong moment turned
-    the round-2 official record into a CPU-fallback number. Window and
-    attempt count are env-tunable; total default ~13 min.
+    Probe the TPU runtime with retries spread across ``window_s``
+    seconds of the GLOBAL budget: the tunnel worker wedges transiently
+    after client crashes (round-2 postmortem), and a single failed
+    probe at the wrong moment turned the round-2 official record into a
+    CPU-fallback number — but an unbudgeted 13-minute probe window was
+    one of the reasons round 3 blew the driver timeout entirely.
     '''
 
     attempts = int(os.environ.get('ZT_BENCH_PROBE_ATTEMPTS', 4))
     wait = float(os.environ.get('ZT_BENCH_PROBE_WAIT', 60))
     timeout_s = float(os.environ.get('ZT_BENCH_PROBE_TIMEOUT', 150))
+    t0 = time.time()
     for i in range(attempts):
-        platform = _probe_device(timeout_s=timeout_s)
+        rem = window_s - (time.time() - t0)
+        if rem <= 5:
+            return None, i
+        platform = _probe_device(timeout_s=min(timeout_s, rem))
         if platform:
             return platform, i + 1
-        if i < attempts - 1:
+        rem = window_s - (time.time() - t0)
+        if i < attempts - 1 and rem > wait + 10:
             time.sleep(wait)
     return None, attempts
 
 
 def main():
-    # Global wall-clock budget: the headline measurement always runs;
-    # each extra is attempted only while under budget — and EVERY row
-    # always appears in the detail, as a result or a {'skipped': ...},
-    # with the whole result flushed to BENCH_PARTIAL.json per row so a
-    # mid-run wedge keeps completed rows.
+    # Global wall-clock budget covering EVERYTHING — probe, headline,
+    # LU baseline, extras (round-3 postmortem: only the extras were
+    # budgeted; probe + headline + LU alone could exceed the driver
+    # timeout, and the single result line printed only at the very end,
+    # so BENCH_r03.json recorded nothing). Every row always appears in
+    # the detail, as a result or a {'skipped': ...}; the result is
+    # flushed to BENCH_PARTIAL.json AND re-printed as a complete JSON
+    # line after every row (the driver reads the last line).
     t_start = time.time()
-    budget = float(os.environ.get('ZT_BENCH_TOTAL_BUDGET', 2100))
+    budget = float(os.environ.get('ZT_BENCH_TOTAL_BUDGET', 2400))
 
-    def _under_budget(label, detail):
-        left = budget - (time.time() - t_start)
+    def _left():
+        return budget - (time.time() - t_start)
+
+    def _under_budget(label, detail, reserve=90):
+        left = _left() - reserve
         if left < 120:
             detail[label] = {'skipped': 'wall-clock budget exhausted'}
             return None
         return left
 
-    platform, probes = _probe_with_backoff()
+    result = {'metric': 'Helmholtz solves/sec/chip', 'value': 0.0,
+              'unit': 'solves/s', 'vs_baseline': 0.0, 'detail': {}}
+    detail = result['detail']
+
+    def _checkpoint():
+        'Persist AND print the newest complete result (last-line-wins).'
+        _flush_partial(result)
+        print(json.dumps(result), flush=True)
+
+    platform, probes = _probe_with_backoff(min(float(
+        os.environ.get('ZT_BENCH_PROBE_WINDOW', 480)), budget / 4))
     if platform is None:
         # TPU runtime hung at init across all retries: fall back to CPU
         # so the benchmark still produces a (clearly labelled) number
@@ -574,26 +747,26 @@ def main():
     else:
         sizes = [BENCH_N, BENCH_N // 2, BENCH_N // 4]
 
-    result = {'metric': 'Helmholtz solves/sec/chip', 'value': 0.0,
-              'unit': 'solves/s', 'vs_baseline': 0.0, 'detail': {}}
-    detail = result['detail']
     detail['platform_probe'] = platform
     detail['requested_grid'] = BENCH_N
-    _flush_partial(result)
+    _checkpoint()
 
     measured = None
     for n in sizes:
-        out = _measure_subprocess('hom', ZT_BENCH_N=n)
+        left = _under_budget('tpu', detail)
+        if not left:
+            break
+        out = _measure_subprocess('hom', timeout=left, ZT_BENCH_N=n)
         if out and 'throughput' in out:
             measured = out
             measured['grid'] = n
             break
         detail.setdefault('failures', {})[str(n)] = out
-        _flush_partial(result)
+        _checkpoint()
     if measured is None:
-        detail['tpu'] = {'skipped': 'all grid sizes failed'}
-        _flush_partial(result)
-        print(json.dumps(result))
+        detail['tpu'] = detail.get('tpu') or {'skipped':
+                                              'all grid sizes failed'}
+        _checkpoint()
         return
 
     n = measured['grid']
@@ -602,7 +775,7 @@ def main():
     result['metric'] = ('Helmholtz solves/sec/chip at %d^2, %d sources '
                         'batched' % (n, BENCH_NSRC))
     result['value'] = round(tpu_throughput, 4)
-    _flush_partial(result)
+    _checkpoint()
 
     lu_throughput, lu_info = measure_lu_baseline(n, BENCH_NSRC)
     detail['lu_baseline'] = lu_info
@@ -610,33 +783,41 @@ def main():
     result['vs_baseline'] = round(tpu_throughput / lu_throughput, 2)
     detail['vs_lu_151src_amortized'] = round(
         tpu_throughput / lu_info['lu_throughput_151src'], 2)
-    _flush_partial(result)
+    _checkpoint()
 
     run_extras = RUN_EXTRAS and not os.environ.get('ZT_BENCH_FORCE_CPU')
+
+    def _lu_scaled(grid):
+        'LU factor/solve times rescaled from the measured LU_N grid.'
+        s = (grid * grid) / (LU_N * LU_N)
+        tf = lu_info['t_factor_measured'] * s ** 1.5
+        ts = (lu_info['t_solve_measured'] * s
+              * (np.log(grid * grid) / np.log(LU_N * LU_N)))
+        return tf, ts
 
     # Extras, in priority order. The gradient row runs FIRST: it is the
     # BASELINE.md metric that has never been recorded on TPU (rounds 1-2
     # ran out of budget before reaching it at the old last position).
-    def _grad_row():
-        left = _under_budget('gradient', detail)
+    def _grad_row(label='gradient', medium='layered', grid=None):
+        left = _under_budget(label, detail)
         if not left:
             return
-        grad = _measure_subprocess('gradient', timeout=left, ZT_BENCH_N=n)
+        grid = grid or n
+        grad = _measure_subprocess('gradient', timeout=left,
+                                   ZT_BENCH_N=grid,
+                                   ZT_BENCH_GRAD_MEDIUM=medium)
         if grad and 'wall_s' in grad:
             # LU-gradient estimate: per frequency one factorization plus
             # forward + adjoint batched triangular solves (the reference
             # "mux" path, zephyr/middleware/problem.py:144-152)
-            lu_grad = GRAD_NFREQ * (lu_info['t_factor_extrapolated']
-                                    + 2 * BENCH_NSRC
-                                    * lu_info['t_solve_extrapolated'])
-            detail['gradient'] = dict(grad['info'],
-                                      wall_s=round(grad['wall_s'], 2),
-                                      lu_gradient_estimate_s=round(
-                                          lu_grad, 2),
-                                      vs_lu=round(lu_grad
-                                                  / grad['wall_s'], 2))
+            tf, ts = _lu_scaled(grid)
+            lu_grad = GRAD_NFREQ * (tf + 2 * BENCH_NSRC * ts)
+            detail[label] = dict(grad['info'],
+                                 wall_s=round(grad['wall_s'], 2),
+                                 lu_gradient_estimate_s=round(lu_grad, 2),
+                                 vs_lu=round(lu_grad / grad['wall_s'], 2))
         else:
-            detail['gradient'] = grad or {'skipped': 'no output'}
+            detail[label] = grad or {'skipped': 'no output'}
 
     def _throughput_row(label, mode, **env):
         left = _under_budget(label, detail)
@@ -651,16 +832,45 @@ def main():
         else:
             detail[label] = out or {'skipped': 'no output'}
 
-    rows = [('gradient', _grad_row, {}),
+    def _freqblock_row():
+        'BASELINE staged config 3: 16 freqs x 96 sources, layered.'
+        left = _under_budget('freqblock', detail)
+        if not left:
+            return
+        out = _measure_subprocess('freqblock', timeout=left)
+        if out and 'wall_s' in out:
+            info = out['info']
+            fb_n = info['grid']
+            tf, ts = _lu_scaled(fb_n)
+            nf, ns = info['nfreq'], info['nsrc']
+            lu_wall = nf * (tf + ns * ts)
+            lu_wall_151 = nf * (tf + 151 * ts)   # per-source cost at the
+            # reference's 151-source amortization (Test Inversion config)
+            solves = nf * ns
+            detail['freqblock'] = dict(
+                info, wall_s=round(out['wall_s'], 2),
+                solves_per_s=round(solves / out['wall_s'], 4),
+                lu_wall_estimate_s=round(lu_wall, 2),
+                vs_lu=round(lu_wall / out['wall_s'], 2),
+                vs_lu_151src_amortized=round(
+                    (lu_wall_151 / 151 * ns) / out['wall_s'], 2))
+        else:
+            detail['freqblock'] = out or {'skipped': 'no output'}
+
+    gradm_n = int(os.environ.get('ZT_BENCH_GRADM_N', min(BENCH_N, 1024)))
+    rows = [('gradient', _grad_row),
             ('layered', lambda: _throughput_row('layered', 'layered',
-                                                ZT_BENCH_N=n), {}),
+                                                ZT_BENCH_N=n)),
             ('marmousi', lambda: _throughput_row('marmousi', 'marmousi',
-                                                 ZT_BENCH_N=n), {}),
-            ('eurus', lambda: _throughput_row('eurus', 'eurus'), {}),
+                                                 ZT_BENCH_N=n)),
+            ('eurus', lambda: _throughput_row('eurus', 'eurus')),
             ('eurus_layered',
-             lambda: _throughput_row('eurus_layered', 'eurus_layered'),
-             {})]
-    for label, fn, _ in rows:
+             lambda: _throughput_row('eurus_layered', 'eurus_layered')),
+            ('freqblock', _freqblock_row),
+            ('gradient_marmousi',
+             lambda: _grad_row('gradient_marmousi', medium='marmousi',
+                               grid=gradm_n))]
+    for label, fn in rows:
         if not run_extras:
             detail[label] = {'skipped': 'extras disabled (%s)'
                              % ('cpu fallback'
@@ -668,9 +878,7 @@ def main():
                                 else 'ZT_BENCH_EXTRAS=0')}
         else:
             fn()
-        _flush_partial(result)
-
-    print(json.dumps(result))
+        _checkpoint()
 
 
 if __name__ == '__main__':

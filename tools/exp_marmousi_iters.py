@@ -16,7 +16,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 import numpy as np
 
 import jax
-jax.config.update('jax_platforms', 'cpu')
+if os.environ.get('EXP_TPU', '0') != '1':
+    jax.config.update('jax_platforms', 'cpu')
+try:
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ.get('ZT_JAX_CACHE',
+                                     '/tmp/zephyr_tpu_jaxcache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+except Exception:
+    pass
 
 import jax.numpy as jnp
 
@@ -94,6 +102,16 @@ VARIANTS = {
     'panels8_shift25': dict(strat_panels=8, fft_shift=0.25j),
     'panels4_ov32_s25': dict(strat_panels=4, strat_overlap=32,
                              fft_shift=0.25j),
+    'panels4_out': dict(strat_panels=4, strat_taper='out'),
+    'panels4_in': dict(strat_panels=4, strat_taper='in'),
+    'panels4_sym': dict(strat_panels=4, strat_taper='sym'),
+    'panels4_dst': dict(strat_panels=4, strat_taper='dst'),
+    'panels4_in_ov32': dict(strat_panels=4, strat_taper='in',
+                            strat_overlap=32),
+    'panels8_in': dict(strat_panels=8, strat_taper='in'),
+    'panels8_dst': dict(strat_panels=8, strat_taper='dst'),
+    'panels8_in_ov32': dict(strat_panels=8, strat_taper='in',
+                            strat_overlap=32),
 }
 
 

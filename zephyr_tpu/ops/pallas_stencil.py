@@ -37,6 +37,13 @@ def _pick_tx(nx):
     Largest lane-aligned tile width dividing nx. Keeps the fused kernels
     applicable on the intermediate grid sizes produced by per-frequency
     grid adaptation (e.g. 1280, 1792 — multiples of 256 but not 512).
+
+    The fallthrough (nx not a multiple of 128 at all, e.g. the 448-wide
+    half grid of a 896-point level) returns nx itself, which is NOT
+    Mosaic-lane-aligned: every applicability predicate must reject it
+    (``TX % 128``) so those shapes fall back to the jnp path instead of
+    failing at compile time with 'Slice shape along dimension 2 must be
+    aligned to tiling (128)'.
     '''
 
     for tx in (512, 256, 128):
@@ -156,7 +163,8 @@ def pallas_applicable(planes, u):
     nz, nx = u.shape
     TZ = _pick_tz(nz, 128)
     TX = _pick_tx(nx)
-    return (nz % TZ == 0 and nx % TX == 0 and nz >= 8 and nx >= 128
+    return (nz % TZ == 0 and nx % TX == 0 and TX % 128 == 0
+            and nz >= 8 and nx >= 128
             and planes.dtype == jnp.complex64)
 
 
@@ -594,7 +602,8 @@ def _batched_tiles_ok(planes, u, tz):
     nz, nx = u.shape[-2:]
     TZ = _pick_tz(nz, tz)
     TX = _pick_tx(nx)
-    return (nz % TZ == 0 and nx % TX == 0 and nz >= 8 and nx >= 128
+    return (nz % TZ == 0 and nx % TX == 0 and TX % 128 == 0
+            and nz >= 8 and nx >= 128
             and planes.dtype == jnp.complex64 and u.dtype == jnp.complex64)
 
 
@@ -945,7 +954,8 @@ def pallas_block_applicable(planes, u):
     nz, nx = u.shape[-2:]
     TZ = _pick_tz(nz, 32)
     TX = _pick_tx(nx)
-    return (nz % TZ == 0 and nx % TX == 0 and nz >= 8 and nx >= 128
+    return (nz % TZ == 0 and nx % TX == 0 and TX % 128 == 0
+            and nz >= 8 and nx >= 128
             and planes.dtype == jnp.complex64 and u.dtype == jnp.complex64)
 
 

@@ -281,7 +281,14 @@ def freq_grid_plan(nz, nx, freqs, cmin, dx=1.0, target_gpw=None,
     def _q(n):
         if quantum:
             return quantum
-        return max(32, 1 << int(np.log2(max(n // 8, 32))))
+        q = max(32, 1 << int(np.log2(max(n // 8, 32))))
+        # the fused-cycle Pallas kernels need the HALF grid lane-aligned
+        # (TX multiple of 128), so production plan shapes must be
+        # multiples of 256: a 128-quantum plan at nz=1024 yields 640/896
+        # grids whose half levels (320/448) have no 128-aligned tile and
+        # fall off the fast path (Mosaic alignment failure before the
+        # predicate fix; jnp fallback after it)
+        return max(q, 256) if n >= 512 else q
 
     qz, qx = _q(nz), _q(nx)
     plans = []
@@ -487,14 +494,34 @@ def fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
 
     solver = make_chunked_solver(config, chunk=max(chunk, 16))
 
+    # optional phase-timing instrumentation (host wall-clock per phase;
+    # every realio call synchronizes on its host-side conversion, so
+    # these attribute compile + dispatch + device time faithfully)
+    import os
+    import time as _time
+    timing = os.environ.get('ZT_FWI_TIMINGS') is not None
+    tacc = {}
+
+    def _tic():
+        return _time.time() if timing else 0.0
+
+    def _toc(key, t0, sync=None):
+        if timing:
+            if sync is not None:
+                jax.block_until_ready(jax.tree_util.tree_leaves(sync))
+            tacc[key] = tacc.get(key, 0.0) + (_time.time() - t0)
+
     R_c = None if adapted else device_put_c(np.asarray(R))
     misfit = 0.0
     grad = np.zeros((nz, nx), rdtype)
     pm = None if premul is None else np.asarray(premul).ravel()
+    solve_iters = []
     for i, f in enumerate(np.asarray(freqs)):
         shape = plans[i]
         sf = fns[shape]
+        t0 = _tic()
         op_f, op_t = sf['prep'](jnp.asarray(float(f)), jnp.asarray(c_r))
+        _toc('prep', t0, (op_f, op_t))
         if adapted:
             q_i, rcols, rvals = _stamps_for(shape)
         else:
@@ -504,17 +531,29 @@ def fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
             b = q_i[s0:s1]
             if pm is not None:
                 b = b * pm[i].astype(b.dtype)
-            x, _, _ = solver(op_f, b)
+            t0 = _tic()
+            x, it_f, _ = solver(op_f, b)
+            _toc('fwd_solve', t0)
             dobs_c = device_put_c(np.ascontiguousarray(
                 np.asarray(dobs)[i, s0:s1]))
+            t0 = _tic()
             if adapted:
                 t, mis = sf['residual_st'](x, rcols, rvals, dobs_c)
             else:
                 t, mis = sf['residual'](x, R_c, dobs_c)
             misfit += float(np.asarray(mis))
-            w, _, _ = solver(op_t, t)
+            _toc('residual', t0)
+            t0 = _tic()
+            w, it_a, _ = solver(op_t, t)
+            _toc('adj_solve', t0)
+            t0 = _tic()
             g = sf['grad'](jnp.asarray(c_r), jnp.asarray(float(f)), w, x)
             grad += np.asarray(g)
+            _toc('grad_term', t0)
+            solve_iters.append((int(it_f), int(it_a)))
+    if timing:
+        tacc['iters'] = solve_iters
+        print('FWI_TIMINGS %r' % (tacc,), flush=True)
     return misfit, grad
 
 

@@ -124,6 +124,16 @@ class SolverConfig(NamedTuple):
                               # — the Marmousi-style iteration cure
                               # (scalar operators only)
     strat_overlap: int = 16   # panel overlap halo (cells per side)
+    strat_taper: str = 'in'   # where the panel partition-of-unity
+                              # weights act (see
+                              # stratified.stratified_apply_panels):
+                              # 'in' (default: taper the gathered
+                              # residual — the panel-FFT wraparound
+                              # cure), 'out' (taper the solved output;
+                              # the original scheme, regresses 256^2
+                              # Marmousi), 'sym', or 'dst'
+                              # (zero-Dirichlet panel solves via odd
+                              # extension, 2x panel cost)
     fft_mode: str = 'strat'   # 'strat' (default) = depth-stratified
                               # interior solve (per-row mean
                               # coefficients, x-FFT + tridiagonal-in-z
@@ -353,7 +363,8 @@ def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
             if config.strat_panels > 1:
                 l, d, u = stratified_coeffs_panels(
                     src_true, src_pp, config.shift, config.fft_shift,
-                    config.strat_panels, config.strat_overlap)
+                    config.strat_panels, config.strat_overlap,
+                    dst=config.strat_taper == 'dst')
             else:
                 l, d, u = stratified_coeffs(src_true, src_pp,
                                             config.shift,
@@ -452,8 +463,7 @@ def _make_precond(op, config, transpose=False):
         if op.strat is not None:
             from .stratified import (StratPCRBlock, stratified_apply,
                                      stratified_apply_block,
-                                     stratified_apply_panels,
-                                     panel_layout)
+                                     stratified_apply_panels)
             is_block = isinstance(op.strat, StratPCRBlock)
             # the panel layout concatenates P windows along x, so the
             # full-vs-reduced-resolution decision below keys on nz only
@@ -464,7 +474,8 @@ def _make_precond(op, config, transpose=False):
                 def P0(r):
                     return stratified_apply_panels(
                         op.strat, r, config.strat_panels,
-                        config.strat_overlap, transpose=transpose)
+                        config.strat_overlap, transpose=transpose,
+                        taper=config.strat_taper)
             else:
                 strat_fn = (stratified_apply_block if is_block
                             else stratified_apply)

@@ -505,6 +505,17 @@ def panel_layout(nx, npanels, overlap):
     for p in range(npanels):
         s = p * C - overlap
         starts.append(max(0, min(s, nx - W)))
+    # the last window must reach the domain edge: for degenerate
+    # configs (tiny nx vs npanels/overlap) the shared width W can
+    # otherwise leave tail columns uncovered, silently zeroing them in
+    # the preconditioner (singular M)
+    starts[-1] = nx - W
+    covered = np.zeros(nx, bool)
+    for s in starts:
+        covered[s:s + W] = True
+    assert covered.all(), \
+        'panel_layout: nx=%d npanels=%d overlap=%d leaves columns ' \
+        'uncovered' % (nx, npanels, overlap)
     return tuple(starts), W
 
 
@@ -525,8 +536,15 @@ def panel_weights(nx, npanels, overlap, dtype=np.float32):
         w[p, s:s + W] = np.minimum(up, dn)
     # pointwise normalization: interior overlaps blend 50/50 at panel
     # joins; cells covered by a single panel (incl. the domain edges,
-    # where the tent would otherwise taper against nothing) get 1
-    w /= np.maximum(w.sum(axis=0, keepdims=True), 1e-30)
+    # where the tent would otherwise taper against nothing) get 1.
+    # Coverage is an invariant (panel_layout asserts it), so the column
+    # sums are bounded away from zero — check rather than clamp, so a
+    # layout bug fails loudly instead of silently zeroing columns.
+    colsum = w.sum(axis=0, keepdims=True)
+    assert colsum.min() > 1.0 / max(overlap, 1) - 1e-9, \
+        'panel_weights: coverage hole (min column weight %g)' \
+        % colsum.min()
+    w /= colsum
     out = np.zeros((npanels, W), np.float64)
     for p, s in enumerate(starts):
         out[p] = w[p, s:s + W]
@@ -534,13 +552,17 @@ def panel_weights(nx, npanels, overlap, dtype=np.float32):
 
 
 def stratified_coeffs_panels(planes, precond_planes, shift, fft_shift,
-                             npanels, overlap):
+                             npanels, overlap, dst=False):
     '''
     Per-panel stratified tridiagonal coefficients for a scalar operator:
     (l, d, u), each (nz, P * W) — panel p occupies columns [p*W, (p+1)*W)
     — plus per-panel kx built from the panel width W. The 'auto'
     fft_shift resolves PER PANEL from the within-panel row-residual
     contrast, so locally-layered panels get the tight shift.
+
+    With ``dst=True`` the kx grid doubles to 2W (the zero-Dirichlet
+    odd-extension solve of ``stratified_apply_panels(taper='dst')``),
+    so the returned bands are (nz, P * 2W).
     '''
 
     assert planes.shape[0] == 1, 'panel stratified: scalar operators only'
@@ -549,7 +571,7 @@ def stratified_coeffs_panels(planes, precond_planes, shift, fft_shift,
     # interior x-columns for the mean (exclude the x-PML frames)
     xlo, xhi = nx // 8, nx - nx // 8
 
-    kx = (2 * jnp.pi) * jnp.fft.fftfreq(W).astype(
+    kx = (2 * jnp.pi) * jnp.fft.fftfreq(2 * W if dst else W).astype(
         jnp.real(planes).dtype)
     shift = jnp.asarray(shift, dtype=planes.dtype)
 
@@ -612,40 +634,98 @@ def _panel_fft(rp, P, W, axis_inverse=False):
     return out.reshape(rp.shape)
 
 
+def _odd_extend(rp, P, W):
+    '''
+    Per-panel odd (Dirichlet) extension along x: (..., nz, P*W) ->
+    (..., nz, P*2W), each panel followed by the negated reverse of its
+    interior so the periodic FFT solve sees zero-Dirichlet panel edges
+    (no wraparound of O(1) residual across the window seam). The
+    endpoints of the reversed copy are the panel's own endpoints negated
+    (a half-sample-shifted DST-II-style extension would need fractional
+    phases; the plain odd mirror is enough for a preconditioner).
+    '''
+
+    shp = rp.shape[:-1] + (P, W)
+    rps = rp.reshape(shp)
+    ext = jnp.concatenate([rps, -jnp.flip(rps, axis=-1)], axis=-1)
+    return ext.reshape(rp.shape[:-1] + (P * 2 * W,))
+
+
+def _odd_restrict(xp, P, W):
+    '(..., nz, P*2W) -> (..., nz, P*W): keep each panel first half.'
+
+    shp = xp.shape[:-1] + (P, 2 * W)
+    return xp.reshape(shp)[..., :W].reshape(xp.shape[:-1] + (P * W,))
+
+
 def stratified_apply_panels(strat, r, npanels, overlap, transpose=False,
-                            delta=1e-6):
+                            delta=1e-6, taper='out'):
     '''
     Apply the x-panelled stratified interior inverse to (..., 1, nz, nx):
     gather panel windows, per-panel x-FFT, z-PCR solve over the
     concatenated panel columns, inverse FFT, partition-of-unity blend,
-    overlapping scatter-add. The transpose path applies the blend
-    weights on the INPUT (the algebraic transpose of weighting the
-    output) with the transposed tridiagonal family.
+    overlapping scatter-add.
+
+    ``taper`` controls where the partition-of-unity weights act — the
+    cure for the wraparound artifacts of the per-panel periodic FFT
+    (the window seam carries O(1) residual, and the periodic interior
+    Green's function wraps it ~1-2 wavelengths into the panel):
+
+    - 'out': weights on the solved output only (the original scheme —
+      contamination enters the solve at full strength);
+    - 'in': weights on the gathered residual only — the input is zero
+      at the seam, so there is no discontinuity to wrap;
+    - 'sym': sqrt-weights on both sides;
+    - 'dst': zero-Dirichlet panel solves via odd extension to width 2W
+      (requires coefficients built with ``dst=True`` — see
+      ``stratified_coeffs_panels``), weights on the output. No wrap at
+      all, at 2x the FFT/PCR cost.
+
+    The transpose path applies the algebraically transposed
+    construction: weights move to the opposite side, with the
+    transposed tridiagonal family.
     '''
 
     nx = r.shape[-1]
     starts, W = panel_layout(nx, npanels, overlap)
     P = len(starts)
     wts = jnp.asarray(panel_weights(nx, npanels, overlap))  # (P, W)
-    wflat = wts.reshape(P * W).astype(jnp.real(r).dtype)
-
-    pre = isinstance(strat, StratPCR)
+    rdt = jnp.real(r).dtype
+    if taper == 'sym':
+        w_in = w_out = jnp.sqrt(wts).reshape(P * W).astype(rdt)
+    elif taper == 'in':
+        w_in, w_out = wts.reshape(P * W).astype(rdt), None
+    else:  # 'out', 'dst'
+        w_in, w_out = None, wts.reshape(P * W).astype(rdt)
     if transpose:
-        ldu = strat.ldu if pre else strat
-        l, d, u = transpose_strat(tuple(ldu))
-        rp = _panel_gather(r, starts, W) * wflat
-        rhat = _panel_fft(rp, P, W, axis_inverse=True)
-        xhat = tridiag_pcr_solve(l, d, u, rhat, delta=delta)
-        xp = _panel_fft(xhat, P, W)
-        return _panel_scatter(xp, starts, W, nx)
+        w_in, w_out = w_out, w_in
+
+    dst = taper == 'dst'
+    Wx = 2 * W if dst else W
+
+    def _solve(rp, use_pre):
+        if dst:
+            rp = _odd_extend(rp, P, W)
+        rhat = _panel_fft(rp, P, Wx, axis_inverse=transpose)
+        if use_pre:
+            xhat = pcr_apply(strat, rhat)
+        else:
+            l, d, u = (transpose_strat(tuple(
+                strat.ldu if isinstance(strat, StratPCR) else strat))
+                if transpose else
+                (strat.ldu if isinstance(strat, StratPCR) else strat))
+            xhat = tridiag_pcr_solve(l, d, u, rhat, delta=delta)
+        xp = _panel_fft(xhat, P, Wx, axis_inverse=not transpose)
+        if dst:
+            xp = _odd_restrict(xp, P, W)
+        return xp
+
     rp = _panel_gather(r, starts, W)
-    rhat = _panel_fft(rp, P, W)
-    if pre:
-        xhat = pcr_apply(strat, rhat)
-    else:
-        l, d, u = strat
-        xhat = tridiag_pcr_solve(l, d, u, rhat, delta=delta)
-    xp = _panel_fft(xhat, P, W, axis_inverse=True) * wflat
+    if w_in is not None:
+        rp = rp * w_in
+    xp = _solve(rp, use_pre=isinstance(strat, StratPCR) and not transpose)
+    if w_out is not None:
+        xp = xp * w_out
     return _panel_scatter(xp, starts, W, nx)
 
 
