@@ -59,13 +59,21 @@ def _common_setup():
 
 
 def _solver_cfg():
+    '''
+    The production solver config. strat_panels stays at its 0 ('auto')
+    default unless ZT_BENCH_PANELS forces a value; each measurement
+    resolves the auto via ``resolve_panels(cfg, c)`` so laterally
+    heterogeneous media (marmousi) get the panelled interior solve and
+    layered/homogeneous media keep the global one.
+    '''
+
     from zephyr_tpu.solver.helmholtz import SolverConfig
     extra = {}
     panels = int(os.environ.get('ZT_BENCH_PANELS', 0))
-    if panels > 1:
+    if panels >= 1:
         extra = dict(strat_panels=panels,
                      strat_overlap=int(os.environ.get('ZT_BENCH_OVERLAP',
-                                                      16)))
+                                                      32)))
     return SolverConfig(tol=1e-5, maxiter=2000, mg_coarse='inv',
                         mg_min_size=32, fft_mode='strat', fft_scale=2,
                         hybrid_comp='fused', mg_nu1=2, mg_nu2=1, **extra)
@@ -175,8 +183,11 @@ def measure_tpu(n, nsrc, medium='hom'):
     cfg = _solver_cfg()
     # Short device programs: the axon runtime kills its worker on very
     # long loop programs, and chunk restarts also remove f32
-    # recursive-residual drift.
-    chunk = int(os.environ.get('ZT_BENCH_CHUNK', 16))
+    # recursive-residual drift. Chunk 32 measured best at 2048^2 hom
+    # (46 iters / 2.62 solves/s vs 55 / 2.15 at chunk 16 — the round-3
+    # "headline drift" was chunk-granularity overshoot of the final
+    # restart, tools/exp_hom_drift.py).
+    chunk = int(os.environ.get('ZT_BENCH_CHUNK', 32))
 
     # complex arrays never cross the host<->device boundary (realio)
     def prep_fn(c_real):
@@ -201,6 +212,8 @@ def measure_tpu(n, nsrc, medium='hom'):
         c_real = _marmousi_c(n)
     else:
         raise ValueError(medium)
+    from zephyr_tpu.solver.helmholtz import resolve_panels
+    cfg = resolve_panels(cfg, c_real)
     op = realio_jit(prep_fn)(jnp.asarray(c_real))
 
     rng = np.random.default_rng(0)
@@ -227,6 +240,7 @@ def measure_tpu(n, nsrc, medium='hom'):
         'wavelengths_across': n / BENCH_WAVELEN_CELLS,
         'chunk': chunk,
         'medium': medium,
+        'panels': cfg.strat_panels,
     }
 
     # roofline accounting: modeled HBM bytes moved per iteration x
@@ -409,10 +423,12 @@ def measure_freqblock(n=None, nfreq=16, nsrc=96):
                                              make_chunked_solver,
                                              shifted_velocity)
 
+    from zephyr_tpu.solver.helmholtz import resolve_panels
     cfg = _solver_cfg()
     chunk = int(os.environ.get('ZT_BENCH_CHUNK', 16))
     cval = 1500.0
     c_np = _layered_c(n)
+    cfg = resolve_panels(cfg, c_np)   # layered -> global (panels off)
     # one octave up to the headline frequency, constant GPW per freq
     freqs = np.linspace(0.5, 1.0, nfreq) * (cval / BENCH_WAVELEN_CELLS)
     plans = freq_grid_plan(n, n, freqs, cval, target_gpw=

@@ -437,33 +437,69 @@ def test_panel_gradient_matches_dense_autodiff():
     assert rel < 1e-6
 
 
+def test_resolve_panels_auto_rule():
+    '''
+    The production auto-panel rule (strat_panels=0 resolved host-side):
+    laterally heterogeneous media get ~nx/256 panels; layered and
+    homogeneous media resolve to the global per-row solve (panels are
+    pure overhead there); explicit settings pass through.
+    '''
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    from bench import _marmousi_c, _layered_c
+    from zephyr_tpu.solver.helmholtz import resolve_panels
+
+    cfg0 = SolverConfig()          # strat_panels=0 (auto) default
+    assert cfg0.strat_panels == 0
+    cm = _marmousi_c(512, np.float64)
+    assert resolve_panels(cfg0, cm).strat_panels == 2
+    assert resolve_panels(cfg0, cm, nx=2048).strat_panels == 8
+    cl = _layered_c(512, np.float64)
+    assert resolve_panels(cfg0, cl).strat_panels == 1
+    ch = 1500. * np.ones((512, 512))
+    assert resolve_panels(cfg0, ch).strat_panels == 1
+    # too small for panels even when heterogeneous
+    assert resolve_panels(cfg0, _marmousi_c(256, np.float64)) \
+        .strat_panels == 1
+    # explicit settings pass through untouched
+    cfg4 = SolverConfig(strat_panels=4)
+    assert resolve_panels(cfg4, cm).strat_panels == 4
+
+
 @pytest.mark.slow
 def test_panel_stratified_cuts_marmousi_iterations():
     '''
     The panels exist to cut iteration counts on laterally-heterogeneous
-    (Marmousi-style) media (VERDICT round-2 item 5): at 128^2 the
-    4-panel solve measured 48 outer iterations vs 64 global. Guard the
-    ordering (panels must never be WORSE) with slack for BiCGStab noise.
+    (Marmousi-style) media (VERDICT round-2 item 5, round-3 item 2),
+    through the ENABLED-BY-DEFAULT path: the production config's
+    strat_panels=0 auto-resolves via ``resolve_panels`` and must beat
+    the forced-global solve at 512^2 (measured 57 vs 69 iterations with
+    the input-taper partition of unity; 169 vs 564 at 2048^2 on TPU).
     '''
     import sys as _sys
     import os as _os
     _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
         _os.path.abspath(__file__))))
     from bench import _marmousi_c
-    from zephyr_tpu.solver.helmholtz import solve_info
+    from zephyr_tpu.solver.helmholtz import resolve_panels, solve_info
 
-    n = 128
+    n = 512
     freq = 1500.0 / 16.0
-    c = jnp.asarray(_marmousi_c(n, np.float64)).astype(jnp.complex128)
+    c_host = _marmousi_c(n, np.float64)
+    c = jnp.asarray(c_host).astype(jnp.complex128)
     rho = jnp.ones((n, n))
     base = dict(tol=1e-5, maxiter=2000, mg_coarse='inv', mg_min_size=32,
                 fft_mode='strat', fft_scale=2, hybrid_comp='fused',
                 mg_nu1=2, mg_nu2=1)
     q = jnp.zeros((1, n, n), jnp.complex128).at[0, n // 2, n // 2].set(1.)
     iters = {}
-    for name, extra in (('global', {}),
-                        ('panels', dict(strat_panels=4))):
-        cfg = SolverConfig(**dict(base, **extra))
+    for name, extra in (('global', dict(strat_panels=1)),
+                        ('default', {})):
+        cfg = resolve_panels(SolverConfig(**dict(base, **extra)), c_host)
+        if name == 'default':
+            assert cfg.strat_panels == 2     # the auto rule engaged
         planes = minizephyr_planes(c, rho, freq)[None, None]
         pplanes = minizephyr_planes(shifted_velocity(c, cfg.shift), rho,
                                     freq, pml_cap=cfg.pml_cap)[None, None]
@@ -471,4 +507,4 @@ def test_panel_stratified_cuts_marmousi_iterations():
         _, its, relres = solve_info(op, q, cfg)
         assert float(relres) < 1e-5
         iters[name] = int(its)
-    assert iters['panels'] <= iters['global'] + 4, iters
+    assert iters['default'] < iters['global'], iters

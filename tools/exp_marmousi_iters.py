@@ -112,6 +112,12 @@ VARIANTS = {
     'panels8_dst': dict(strat_panels=8, strat_taper='dst'),
     'panels8_in_ov32': dict(strat_panels=8, strat_taper='in',
                             strat_overlap=32),
+    'panels2_in_ov32': dict(strat_panels=2, strat_taper='in',
+                            strat_overlap=32),
+    'panels4_in_ov48': dict(strat_panels=4, strat_taper='in',
+                            strat_overlap=48),
+    'panels16_in_ov32': dict(strat_panels=16, strat_taper='in',
+                             strat_overlap=32),
 }
 
 

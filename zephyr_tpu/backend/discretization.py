@@ -94,9 +94,17 @@ class BaseDiscretization(BaseModelDependent):
         ``solverOpts`` config key), with the precision-aware default
         tolerance resolved by the shared helper
         (solver.helmholtz.resolve_solver_config) so the backend and
-        middleware solve paths agree.
+        middleware solve paths agree, and the auto-panel default
+        (strat_panels=0) resolved host-side from this problem's model:
+        laterally heterogeneous media get the x-panelled stratified
+        interior solve, layered/homogeneous stay global (scalar
+        operators only; Eurus block systems ignore the panel config).
         '''
-        return resolve_solver_config(getattr(self, '_solverOpts', {}))
+        from ..solver.helmholtz import resolve_panels
+        cfg = resolve_solver_config(getattr(self, '_solverOpts', {}))
+        if self.nblock == 1:
+            cfg = resolve_panels(cfg, self.c)
+        return cfg
 
     @property
     def nblock(self):

@@ -194,9 +194,21 @@ class HelmBaseProblem(BaseModelDependent, BaseSCCache):
 
     @property
     def solverConfig(self):
-        'Solver options with the shared precision-aware tol default.'
-        return resolve_solver_config(self.systemConfig.get('solverOpts',
-                                                           {}))
+        '''
+        Solver options with the shared precision-aware tol default and
+        the auto-panel default resolved host-side from this problem's
+        velocity model (scalar systems; Eurus block systems ignore the
+        panel config — see backend.discretization.solverConfig).
+        '''
+        from ..solver.helmholtz import resolve_panels
+        cfg = resolve_solver_config(self.systemConfig.get('solverOpts',
+                                                          {}))
+        c = self.systemConfig.get('c', None)
+        if c is not None and np.asarray(c).size > 1:
+            nz = int(self.systemConfig['nz'])
+            nx = int(self.systemConfig['nx'])
+            cfg = resolve_panels(cfg, np.asarray(c).reshape(nz, nx))
+        return cfg
 
     def _solve_25d(self, ci, rho, f, qf_i, cfg, kwargs,
                    scan_threshold=8):

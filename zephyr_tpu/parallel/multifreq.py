@@ -200,10 +200,11 @@ def multifreq_dpred_chunked(c, rho, freqs, q, R, config=SolverConfig(),
     '''
 
     from ..core.realio import realio_jit, device_put_c
-    from ..solver.helmholtz import make_chunked_solver
+    from ..solver.helmholtz import make_chunked_solver, resolve_panels
 
     nfreq, nsrc, nz, nx = q.shape
     c = np.asarray(c)
+    config = resolve_panels(config, c)
     cdtype = jnp.complex128 if np.asarray(q).dtype == np.complex128 \
         else jnp.complex64
     rdtype = np.float64 if cdtype == jnp.complex128 else np.float32
@@ -363,7 +364,7 @@ def fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
     from ..backend.interpolation import resample_field
     from ..core.realio import realio_jit, device_put_c
     from ..ops.stencil import transpose_block_planes, apply_block_stencil
-    from ..solver.helmholtz import make_chunked_solver
+    from ..solver.helmholtz import make_chunked_solver, resolve_panels
 
     c = np.asarray(c)
     adapted = target_gpw is not None
@@ -414,17 +415,21 @@ def fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
         rho_f = (rho_r if shape == (nz, nx) else
                  np.asarray(resample_field(jnp.asarray(rho_r), shape)))
         rho_j = jnp.asarray(rho_f)
+        # resolve the auto-panel default per SOLVE shape (the lateral
+        # contrast comes from the fine host model; the panel count
+        # tracks the shape actually solved on)
+        cfg_s = resolve_panels(config, c_r, nx=shape[1])
 
         def prep_ops(freq, c_real):
             planes = _planes_of(c_real, freq, shape, rho_j)
-            csh = shifted_velocity(c_real.astype(cdtype), config.shift)
+            csh = shifted_velocity(c_real.astype(cdtype), cfg_s.shift)
             pshift = _planes_of(csh, freq, shape, rho_j,
-                                pml_cap=config.pml_cap, viscous=False)
-            op_f = prepare_operator(planes, pshift, config,
+                                pml_cap=cfg_s.pml_cap, viscous=False)
+            op_f = prepare_operator(planes, pshift, cfg_s,
                                     with_transpose=False)
             op_t = prepare_operator(transpose_block_planes(planes),
                                     transpose_block_planes(pshift),
-                                    config, with_transpose=False)
+                                    cfg_s, with_transpose=False)
             return op_f, op_t
 
         def residual_dense(x, R_j, dobs_f):
@@ -468,7 +473,9 @@ def fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
         return dict(prep=realio_jit(prep_ops),
                     residual=realio_jit(residual_dense),
                     residual_st=realio_jit(residual_stamps),
-                    grad=realio_jit(grad_term))
+                    grad=realio_jit(grad_term),
+                    solver=make_chunked_solver(cfg_s,
+                                               chunk=max(chunk, 16)))
 
     fns = {}
     for shape in plans:
@@ -491,8 +498,6 @@ def fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
                 jnp.asarray(rcols),
                 device_put_c(np.ascontiguousarray(rvals)))
         return stamp_cache[shape]
-
-    solver = make_chunked_solver(config, chunk=max(chunk, 16))
 
     # optional phase-timing instrumentation (host wall-clock per phase;
     # every realio call synchronizes on its host-side conversion, so
@@ -532,7 +537,7 @@ def fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
             if pm is not None:
                 b = b * pm[i].astype(b.dtype)
             t0 = _tic()
-            x, it_f, _ = solver(op_f, b)
+            x, it_f, _ = sf['solver'](op_f, b)
             _toc('fwd_solve', t0)
             dobs_c = device_put_c(np.ascontiguousarray(
                 np.asarray(dobs)[i, s0:s1]))
@@ -544,7 +549,7 @@ def fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
             misfit += float(np.asarray(mis))
             _toc('residual', t0)
             t0 = _tic()
-            w, it_a, _ = solver(op_t, t)
+            w, it_a, _ = sf['solver'](op_t, t)
             _toc('adj_solve', t0)
             t0 = _tic()
             g = sf['grad'](jnp.asarray(c_r), jnp.asarray(float(f)), w, x)
