@@ -312,3 +312,33 @@ def test_pallas_presmooth_restrict_interpret_matches_reference():
                                                interpret=True)
     assert float(jnp.abs(u - u_ref).max() / jnp.abs(u_ref).max()) < 1e-5
     assert float(jnp.abs(rc - rc_ref).max() / jnp.abs(rc_ref).max()) < 1e-5
+
+
+def test_pallas_pcr_sweep_interpret_matches_reference():
+    '''
+    The fused PCR sweep kernel (field VMEM-resident across all
+    reduction levels, ops/pallas_pcr.py) must reproduce the per-level
+    jnp sweep bit-for-bit-ish (same f32 arithmetic on the bf16-unpacked
+    factors) on the bf16-packed production path.
+    '''
+    from zephyr_tpu.ops.pallas_pcr import (pcr_sweep_pallas,
+                                           pcr_pallas_applicable)
+    from zephyr_tpu.solver.stratified import (pcr_precompute,
+                                              _pcr_sweep_bf16_jnp)
+
+    nz, nx, R = 32, 256, 3
+    mk = lambda: jnp.asarray(
+        (RNG.standard_normal((nz, nx))
+         + 1j * RNG.standard_normal((nz, nx))).astype(np.complex64))
+    l, u = mk(), mk()
+    d = mk() + 4.0
+    pcr = pcr_precompute(l, d, u, quantize=True)
+    b = jnp.asarray(
+        (RNG.standard_normal((R, nz, nx))
+         + 1j * RNG.standard_normal((R, nz, nx))).astype(np.complex64))
+    assert pcr_pallas_applicable(pcr.alphas, pcr.dinv, b)
+    ref = _pcr_sweep_bf16_jnp(pcr.alphas, pcr.gammas, pcr.dinv, b)
+    out = pcr_sweep_pallas(pcr.alphas, pcr.gammas, pcr.dinv, b,
+                           interpret=True)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 1e-6, rel

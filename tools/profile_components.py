@@ -98,6 +98,32 @@ def main():
     t_mv = timeit('matvec x%d' % nsrc, mv_rio, b,
                   traffic=nsrc * (9 * FB + 2 * FB))
 
+    # 1b. the stratified PCR interior solve alone (x-FFT + precomputed
+    # cyclic-reduction sweep + inverse FFT at the half grid) — the
+    # modeled-traffic audit: each PCR level re-reads and re-writes the
+    # RHS (no fusion across levels), so its REAL traffic is
+    # ~nsteps x (r/w + bf16 factors) at the half grid, far above the
+    # 1.5F the roofline model books
+    from zephyr_tpu.solver.stratified import stratified_apply
+    nzh = op.strat.dinv.shape[-2] if op.strat is not None else 0
+    if op.strat is not None:
+        import numpy as _np
+
+        def strat_all(v):
+            # apply at the spectral-solve resolution (fft_scale=2:
+            # half grid)
+            return jax.vmap(lambda vi: stratified_apply(op.strat,
+                                                        vi))(v)
+
+        bh = realio_jit(lambda p: jnp.zeros((nsrc, 1, nzh,
+                                             op.strat.dinv.shape[-1]),
+                                            jnp.complex64))(b)
+        Fh = nzh * op.strat.dinv.shape[-1] * 8
+        nsteps = int(_np.ceil(_np.log2(max(nzh, 2))))
+        strat_rio = realio_jit(strat_all)
+        timeit('strat PCR+FFT x%d' % nsrc, strat_rio, bh,
+               traffic=nsrc * (nsteps * (2 + 0.5) + 4) * Fh)
+
     # 2. preconditioner application (the V-cycle hybrid)
     M = _make_precond(op, cfg)
 

@@ -262,9 +262,20 @@ def freq_grid_plan(nz, nx, freqs, cmin, dx=1.0, target_gpw=None,
     Per-frequency grid shapes by the reference's targetGPW rule
     (MultiGridHelper.scales, reference distributors.py:515-573):
     scale = median(cmin / (freq * dx * targetGPW), max_scale, 1). Shapes
-    snap to tile-friendly multiples (default: n/8 rounded to a power of
-    two, >= 32) so the Pallas kernels stay applicable and shape buckets
-    stay few. With target_gpw=None every frequency keeps the fine grid.
+    snap UP to a coarse quantum (default n/4, min 256) so that
+
+    - no frequency ever solves below the target gridpoints-per-
+      wavelength (rounding DOWN re-creates the low-frequency PML-stretch
+      blowup this plan exists to avoid), and
+    - the number of DISTINCT shapes stays at ~2 per octave: every shape
+      is a separate XLA compilation of the whole prep/solve/gradient
+      pipeline, and on the tunnel TPU runtime a single cold compile is
+      minutes — shape-bucket count, not solve time, dominated the
+      round-3 gradient wall-clock (950 s at 2048^2 with 4 buckets).
+    - multiples of 256 keep the fused-cycle Pallas kernels' half grids
+      lane-aligned (TX multiple of 128).
+
+    With target_gpw=None every frequency keeps the fine grid.
 
     This is the convergence- and cost-critical companion of the chunked
     FWI driver: the true operator's PML decay profile is
@@ -282,23 +293,16 @@ def freq_grid_plan(nz, nx, freqs, cmin, dx=1.0, target_gpw=None,
     def _q(n):
         if quantum:
             return quantum
-        q = max(32, 1 << int(np.log2(max(n // 8, 32))))
-        # the fused-cycle Pallas kernels need the HALF grid lane-aligned
-        # (TX multiple of 128), so production plan shapes must be
-        # multiples of 256: a 128-quantum plan at nz=1024 yields 640/896
-        # grids whose half levels (320/448) have no 128-aligned tile and
-        # fall off the fast path (Mosaic alignment failure before the
-        # predicate fix; jnp fallback after it)
-        return max(q, 256) if n >= 512 else q
+        return max(256, n // 4) if n >= 512 else max(32, n // 4)
 
     qz, qx = _q(nz), _q(nx)
     plans = []
     for f in np.asarray(freqs, dtype=np.float64):
         s = float(np.median(((cmin / (float(np.real(f)) * dx * target_gpw)),
                              max_scale, 1.0)))
-        nzf = int(np.clip(np.round(nz / s / qz) * qz, min(min_size, nz),
+        nzf = int(np.clip(np.ceil(nz / s / qz) * qz, min(min_size, nz),
                           nz))
-        nxf = int(np.clip(np.round(nx / s / qx) * qx, min(min_size, nx),
+        nxf = int(np.clip(np.ceil(nx / s / qx) * qx, min(min_size, nx),
                           nx))
         plans.append((nzf, nxf))
     return plans
@@ -475,7 +479,7 @@ def fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
                     residual_st=realio_jit(residual_stamps),
                     grad=realio_jit(grad_term),
                     solver=make_chunked_solver(cfg_s,
-                                               chunk=max(chunk, 16)))
+                                               chunk=max(chunk, 32)))
 
     fns = {}
     for shape in plans:
@@ -556,6 +560,10 @@ def fwi_misfit_grad_chunked(c, rho, freqs, q, R, dobs,
             grad += np.asarray(g)
             _toc('grad_term', t0)
             solve_iters.append((int(it_f), int(it_a)))
+        if timing:
+            print('FWI_FREQ %d/%d shape=%s %r' % (i + 1, len(plans),
+                                                  shape, tacc),
+                  flush=True)
     if timing:
         tacc['iters'] = solve_iters
         print('FWI_TIMINGS %r' % (tacc,), flush=True)

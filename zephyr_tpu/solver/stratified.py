@@ -32,6 +32,7 @@ from typing import NamedTuple, Any
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -183,17 +184,61 @@ def pcr_precompute(l, d, u, delta=1e-6, quantize=None):
     return StratPCR(alphas, gammas, dinv, ldu)
 
 
+def _pcr_sweep_bf16_jnp(alphas, gammas, dinv, b):
+    'Per-level unpacked bf16 sweep (the jnp reference path).'
+
+    s = 1
+    for i in range(alphas.shape[0]):
+        a = _unpack_bf16(alphas[i], b.dtype)
+        g = _unpack_bf16(gammas[i], b.dtype)
+        b = b + a * _shift_z(b, -s) + g * _shift_z(b, +s)
+        s *= 2
+    return b * _unpack_bf16(dinv, b.dtype)
+
+
+@jax.custom_batching.custom_vmap
+def _pcr_sweep_bf16(alphas, gammas, dinv, b):
+    '''
+    bf16-packed sweep of ONE field (nz, nx); under vmap (the solver's
+    RHS batch) dispatches to the fused Pallas kernel, which keeps the
+    field VMEM-resident across all reduction levels instead of paying
+    one HBM round-trip per level (ops/pallas_pcr.py) — the single
+    largest preconditioner stream at production sizes.
+    '''
+
+    return _pcr_sweep_bf16_jnp(alphas, gammas, dinv, b)
+
+
+@_pcr_sweep_bf16.def_vmap
+def _pcr_sweep_bf16_vmap(axis_size, in_batched, alphas, gammas, dinv, b):
+    from ..ops.stencil import _pallas_wanted
+    ab, gb, db, bb = in_batched
+    if bb and not (ab or gb or db) and _pallas_wanted():
+        from ..ops.pallas_pcr import (pcr_sweep_pallas,
+                                      pcr_pallas_applicable)
+        if pcr_pallas_applicable(alphas, dinv, b):
+            return pcr_sweep_pallas(alphas, gammas, dinv, b), True
+    fn = jax.vmap(_pcr_sweep_bf16_jnp,
+                  in_axes=(0 if ab else None, 0 if gb else None,
+                           0 if db else None, 0 if bb else None))
+    return fn(alphas, gammas, dinv, b), True
+
+
 def pcr_apply(pcr, b):
     'RHS-only cyclic-reduction sweep with precomputed levels.'
 
     if pcr.alphas.dtype == jnp.bfloat16:
-        s = 1
-        for i in range(pcr.alphas.shape[0]):
-            a = _unpack_bf16(pcr.alphas[i], b.dtype)
-            g = _unpack_bf16(pcr.gammas[i], b.dtype)
-            b = b + a * _shift_z(b, -s) + g * _shift_z(b, +s)
-            s *= 2
-        return b * _unpack_bf16(pcr.dinv, b.dtype)
+        if b.ndim >= 2 and b.shape[-2:] == pcr.ldu.shape[-2:]:
+            # route through the custom-vmap boundary on the trailing
+            # field so the solver's RHS batch reaches the fused kernel
+            lead = b.shape[:-2]
+            if len(lead) == 0:
+                return _pcr_sweep_bf16(pcr.alphas, pcr.gammas, pcr.dinv,
+                                       b)
+            if len(lead) == 1 and lead[0] == 1:
+                return _pcr_sweep_bf16(pcr.alphas, pcr.gammas, pcr.dinv,
+                                       b[0])[None]
+        return _pcr_sweep_bf16_jnp(pcr.alphas, pcr.gammas, pcr.dinv, b)
     return _pcr_sweep_rhs(pcr.alphas, pcr.gammas, pcr.dinv, b)
 
 
