@@ -288,14 +288,35 @@ def measure_tpu(n, nsrc, medium='hom'):
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
+        from jax import lax as _lax
         from zephyr_tpu.core.realio import realio_jit as _rj
-        mv_rio = _rj(lambda v: jax.vmap(
-            lambda vi: apply_block_stencil_fast(op.planes, vi))(v))
-        M = _make_precond(op, cfg)
-        prec_rio = _rj(lambda v: jax.vmap(M)(v))
+
+        # op is a device-resident C-pair pytree: recombine INSIDE the
+        # jit boundary (complex leaves never cross host<->device).
+        # Each timed program loops LOOPN applications so the tunnel's
+        # per-dispatch latency (measured ~20 ms — it made single-apply
+        # timings exceed the whole 32-iteration chunk per-iter cost)
+        # amortizes away.
+        LOOPN = 8
+
+        def mv_loop(op_in, v):
+            def body(i, x):
+                return jax.vmap(lambda vi: apply_block_stencil_fast(
+                    op_in.planes, vi))(x)
+            return _lax.fori_loop(0, LOOPN, body, v)
+
+        def prec_loop(op_in, v):
+            M = _make_precond(op_in, cfg)
+
+            def body(i, x):
+                return jax.vmap(M)(x)
+            return _lax.fori_loop(0, LOOPN, body, v)
+
+        mv_rio = _rj(mv_loop)
+        prec_rio = _rj(prec_loop)
         F = n * n * 8
-        t_mv = _time_rio(mv_rio, b)
-        t_pc = _time_rio(prec_rio, b)
+        t_mv = _time_rio(lambda bb: mv_rio(op, bb), b) / LOOPN
+        t_pc = _time_rio(lambda bb: prec_rio(op, bb), b) / LOOPN
         t_ch = _time_rio(lambda bb: solver(op, bb, max_chunks=1)[0], b)
         per_iter = t_ch / chunk
         glue = per_iter - 2 * t_mv - 2 * t_pc
@@ -786,7 +807,11 @@ def main():
         left = _under_budget('tpu', detail)
         if not left:
             break
-        out = _measure_subprocess('hom', timeout=left, ZT_BENCH_N=n)
+        # the per-component breakdown costs ~8 min of cold compiles;
+        # skip it when the remaining budget cannot absorb a cold cache
+        extra = {} if left > 1400 else {'ZT_BENCH_COMPONENTS': 0}
+        out = _measure_subprocess('hom', timeout=left, ZT_BENCH_N=n,
+                                  **extra)
         if out and 'throughput' in out:
             measured = out
             measured['grid'] = n

@@ -118,6 +118,12 @@ VARIANTS = {
                             strat_overlap=48),
     'panels16_in_ov32': dict(strat_panels=16, strat_taper='in',
                              strat_overlap=32),
+    'panels8_in_ov48': dict(strat_panels=8, strat_taper='in',
+                            strat_overlap=48),
+    'panels8_in_ov64': dict(strat_panels=8, strat_taper='in',
+                            strat_overlap=64),
+    'panels8_dst_ov32': dict(strat_panels=8, strat_taper='dst',
+                             strat_overlap=32),
 }
 
 
