@@ -882,6 +882,15 @@ def main():
         if out and 'throughput' in out:
             thr = out['throughput']
             info = out['info']
+            # a wedged/corrupted tunnel worker silently produces WRONG
+            # numerics (observed: every TTI solve diverging for ~2 h,
+            # reproducibly healthy after the worker recovered) — flag
+            # rows whose solve missed its tolerance by far so the
+            # record is not mistaken for an algorithmic result
+            if float(info.get('relres', 0.0) or 0.0) > 100 * 1e-5:
+                info['suspect_runtime'] = ('relres far above tol: '
+                                           'possible corrupted TPU '
+                                           'worker state')
             row_grid = info.get('grid', n)
             if row_grid != n or str(info.get('medium',
                                              '')).startswith('TTI'):

@@ -315,6 +315,46 @@ def test_chunked_fwi_gradient_grid_adapted_fd():
 
 
 @pytest.mark.slow
+def test_chunked_fwi_gradient_panels_fd():
+    '''
+    The chunked adjoint-state gradient with the x-PANELLED stratified
+    preconditioner engaged on BOTH the forward and the transposed
+    operator (the production marmousi-gradient path — the auto rule
+    resolves panels for laterally heterogeneous media): finite-
+    difference identity against the explicit panel config.
+    '''
+    from zephyr_tpu.parallel.multifreq import fwi_misfit_grad_chunked
+
+    nz = nx = 64
+    cfg = SolverConfig(tol=1e-11, maxiter=600, strat_panels=2,
+                       strat_overlap=8)
+    freqs = np.array([250.])
+    src_pos = np.array([[12.0, 12.0], [40.0, 14.0]])
+    rec_pos = np.array([[48.0, 22.0], [16.0, 44.0]])
+    x = np.linspace(0., 1., nx)[None, :] * np.ones((nz, 1))
+    c = 2000. * (1.0 + 0.4 * x)            # lateral trend
+    c[24:40, 20:44] -= 120.
+    rho = np.ones((nz, nx))
+    dobs = np.zeros((1, 2, 2), np.complex128)
+
+    kw = dict(config=cfg, chunk=2, target_gpw=1e6, src_pos=src_pos,
+              rec_pos=rec_pos, cmin=float(c.min()), nPML=8)
+    m0, g = fwi_misfit_grad_chunked(c, rho, freqs, None, None, dobs,
+                                    **kw)
+    assert np.isfinite(m0) and np.isfinite(g).all()
+    rng = np.random.default_rng(5)
+    dc = rng.standard_normal((nz, nx))
+    eps = 0.1
+    m_p, _ = fwi_misfit_grad_chunked(c + eps * dc, rho, freqs, None,
+                                     None, dobs, **kw)
+    m_m, _ = fwi_misfit_grad_chunked(c - eps * dc, rho, freqs, None,
+                                     None, dobs, **kw)
+    fd = (m_p - m_m) / (2 * eps)
+    an = float(np.sum(g * dc))
+    assert abs(fd - an) / abs(an) < 2e-4, (fd, an)
+
+
+@pytest.mark.slow
 def test_sharded_grad_matches_single_small():
     'Mesh-sharded FWI gradient == single-device gradient (tiny shapes).'
     from zephyr_tpu.parallel import make_mesh, make_sharded_fwi_step
