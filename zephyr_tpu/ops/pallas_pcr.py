@@ -33,6 +33,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# levels with shift below this use a whole-block sublane rotate +
+# boundary mask instead of banded static slices (which are sublane-
+# unaligned for s < 8 in f32 and force Mosaic relayouts); override for
+# experiments via ZT_PCR_ROLL_MAX
+import os as _os
+_ROLL_MAX_S = int(_os.environ.get('ZT_PCR_ROLL_MAX', 8))
+
 
 
 
@@ -82,6 +89,35 @@ def _pcr_kernel(a_hbm, g_hbm, dr_ref, di_ref, br_ref, bi_ref,
         for cp in _copies(lvl, slot):
             cp.wait()
 
+        def roll_level():
+            '''
+            Whole-block level update via sublane rotates: for s below
+            the f32 sublane granularity (8 rows) the banded static
+            slices are sublane-UNALIGNED and Mosaic lowers each one to
+            a full relayout — measured to make the kernel compute-
+            bound (~200 us per (1024, 128) column program vs ~14 us of
+            traffic). A rotate + boundary mask is one cheap sublane
+            permute per operand instead.
+            '''
+            zidx = lax.broadcasted_iota(jnp.int32, (NZ, TX), 0)
+            src_r, src_i = wr[src], wi[src]
+            ar = a_tile[slot, 0].astype(jnp.float32)
+            ai = a_tile[slot, 1].astype(jnp.float32)
+            gr = g_tile[slot, 0].astype(jnp.float32)
+            gi = g_tile[slot, 1].astype(jnp.float32)
+            # b[z-s] = roll(b, +s) valid for z >= s;
+            # b[z+s] = roll(b, -s) valid for z < NZ - s
+            mr = pltpu.roll(src_r, s, 0)
+            mi = pltpu.roll(src_i, s, 0)
+            pr = pltpu.roll(src_r, NZ - s, 0)
+            pi = pltpu.roll(src_i, NZ - s, 0)
+            mok = (zidx >= s).astype(jnp.float32)
+            pok = (zidx < NZ - s).astype(jnp.float32)
+            wr[dst] = (src_r + mok * (ar * mr - ai * mi)
+                       + pok * (gr * pr - gi * pi))
+            wi[dst] = (src_i + mok * (ar * mi + ai * mr)
+                       + pok * (gr * pi + gi * pr))
+
         def band(z0, z1, with_m, with_p):
             'dst[z0:z1] = src[z0:z1] + a*src[z0-s:...] + g*src[z0+s:...]'
             out_r = wr[src, z0:z1]
@@ -107,6 +143,8 @@ def _pcr_kernel(a_hbm, g_hbm, dr_ref, di_ref, br_ref, bi_ref,
         # b[z-s] for z >= s (both windows are static ref slices)
         if s >= NZ:
             band(0, NZ, False, False)
+        elif s < _ROLL_MAX_S:
+            roll_level()
         else:
             lo, hi = min(s, NZ - s), max(s, NZ - s)
             if lo > 0:
