@@ -51,8 +51,14 @@ def _common_setup():
         jax.config.update('jax_platforms', 'cpu')
     cache_dir = os.environ.get('ZT_JAX_CACHE', '/tmp/zephyr_tpu_jaxcache')
     try:
-        jax.config.update('jax_compilation_cache_dir', cache_dir)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        # TPU-only: the cache dir can survive VM snapshot/restore onto a
+        # host with different CPU features, and XLA:CPU will then load
+        # AOT results compiled for the OLD host (observed: cpu_aot_loader
+        # errors + SIGILL warnings). TPU executables are host-agnostic.
+        if jax.default_backend() in ('tpu', 'axon'):
+            jax.config.update('jax_compilation_cache_dir', cache_dir)
+            jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                              1.0)
     except Exception:
         pass
     return jax

@@ -19,10 +19,15 @@ import jax
 if os.environ.get('EXP_TPU', '0') != '1':
     jax.config.update('jax_platforms', 'cpu')
 try:
-    jax.config.update('jax_compilation_cache_dir',
-                      os.environ.get('ZT_JAX_CACHE',
-                                     '/tmp/zephyr_tpu_jaxcache'))
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    if jax.default_backend() in ('tpu', 'axon'):
+        # TPU-only: /tmp cache can survive snapshot/restore onto a host
+        # with different CPU features; XLA:CPU then loads foreign AOT
+        # results (SIGILL risk). TPU executables are host-agnostic.
+        jax.config.update('jax_compilation_cache_dir',
+                          os.environ.get('ZT_JAX_CACHE',
+                                         '/tmp/zephyr_tpu_jaxcache'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          1.0)
 except Exception:
     pass
 

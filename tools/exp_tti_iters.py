@@ -21,10 +21,15 @@ import jax
 if os.environ.get('EXP_TPU', '0') != '1':
     jax.config.update('jax_platforms', 'cpu')
 try:
-    jax.config.update('jax_compilation_cache_dir',
-                      os.environ.get('ZT_JAX_CACHE',
-                                     '/tmp/zephyr_tpu_jaxcache'))
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    if jax.default_backend() in ('tpu', 'axon'):
+        # TPU-only: /tmp cache can survive snapshot/restore onto a host
+        # with different CPU features; XLA:CPU then loads foreign AOT
+        # results (SIGILL risk). TPU executables are host-agnostic.
+        jax.config.update('jax_compilation_cache_dir',
+                          os.environ.get('ZT_JAX_CACHE',
+                                         '/tmp/zephyr_tpu_jaxcache'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          1.0)
 except Exception:
     pass
 
@@ -44,6 +49,7 @@ WAVELEN = 16.0
 
 
 def run(n, medium, cfg, nsrc=2, chunk=None, label=''):
+    iso = label == 'iso'
     freq = 1500.0 / WAVELEN
     if medium == 'layered':
         c_np = _layered_c(n, np.float32)
@@ -55,9 +61,10 @@ def run(n, medium, cfg, nsrc=2, chunk=None, label=''):
     def prep_fn(c_real):
         c = c_real.astype(jnp.complex64)
         rho = jnp.ones_like(c_real)
-        aniso = dict(theta=jnp.full((n, n), 0.3, jnp.float32),
-                     eps=jnp.full((n, n), 0.2, jnp.float32),
-                     delta=jnp.full((n, n), 0.1, jnp.float32))
+        a = 0.0 if iso else 1.0
+        aniso = dict(theta=jnp.full((n, n), a * 0.3, jnp.float32),
+                     eps=jnp.full((n, n), a * 0.2, jnp.float32),
+                     delta=jnp.full((n, n), a * 0.1, jnp.float32))
         planes = eurus_planes(c, rho, freq, **aniso)
         pplanes = eurus_planes(shifted_velocity(c, cfg.shift), rho, freq,
                                pml_cap=cfg.pml_cap, **aniso)
@@ -111,6 +118,15 @@ VARIANTS = {
                         fft_shift=0.15j, gmres_restart=10),
     'bicg': dict(krylov='bicgstab'),
     'bicg_slo': dict(krylov='bicgstab', fft_shift=0.15j),
+    # --- TPU-divergence bisection variants (round 4): layered TTI
+    # diverges on TPU at 128^2 where CPU converges; these isolate the
+    # coarse dense inverse, the stratified block interior solve, and
+    # the 2d spectral path respectively ---
+    'coarse_lu': dict(mg_coarse='lu'),
+    'mg_only': dict(precond='mg'),
+    'fft2d': dict(fft_mode='2d'),
+    'short': dict(maxiter=40),
+    'iso': {},           # isotropic medium routed through the block op
 }
 
 
