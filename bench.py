@@ -36,6 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_N = int(os.environ.get('ZT_BENCH_N', 2048))
 BENCH_NSRC = int(os.environ.get('ZT_BENCH_NSRC', 16))
+# headline total source count: the reference amortizes ONE factorization
+# over a whole survey (151 sources in notebooks/Test Inversion.ipynb);
+# the TPU side amortizes one prepared operator + compile the same way,
+# so the headline solves NSRC_TOTAL sources in HBM-sized batches of
+# BENCH_NSRC through the SAME prepared operator (VERDICT r4 #2)
+BENCH_NSRC_TOTAL = int(os.environ.get('ZT_BENCH_NSRC_TOTAL', 96))
 BENCH_WAVELEN_CELLS = float(os.environ.get('ZT_BENCH_WAVELEN', 16.0))
 BENCH_REPEATS = int(os.environ.get('ZT_BENCH_REPEATS', 3))
 LU_N = int(os.environ.get('ZT_BENCH_LU_N', 512))
@@ -95,12 +101,15 @@ def _layered_c(n, dtype=np.float32):
 def _marmousi_c(n, dtype=np.float32):
     '''
     Synthetic Marmousi-style medium (deterministic): dipping folded
-    stratigraphy with a lateral velocity trend, fault-block offsets and
-    a low-velocity lens — heterogeneous in BOTH directions, so the
-    depth-stratified interior solve is only approximate (unlike the
-    exactly-layered case). Mirrors BASELINE.md staged config 4's
-    "Marmousi-style 2D model" intent without shipping the licensed
-    Marmousi grid.
+    THIN-BED stratigraphy with a lateral velocity trend, fault-block
+    offsets, a low-velocity lens, AND band-limited stochastic roughness
+    with a ~1/k power spectrum (von-Karman-like, the measured spectral
+    character of Marmousi-class models) — heterogeneous in BOTH
+    directions at ALL scales down to a few cells, so the
+    depth-stratified interior solve is genuinely approximate, not just
+    layered-with-offsets (round-4 VERDICT "de-flatter config 4").
+    Mirrors BASELINE.md staged config 4's "Marmousi-style 2D model"
+    intent without shipping the licensed Marmousi grid.
     '''
 
     z = np.linspace(0., 1., n)[:, None]
@@ -108,15 +117,29 @@ def _marmousi_c(n, dtype=np.float32):
     horizon = z + 0.15 * x + 0.05 * np.sin(6.0 * np.pi * x) * (0.3 + z)
     for fx, dzo in ((0.3, 0.06), (0.55, -0.08), (0.8, 0.05)):
         horizon = horizon + dzo * (x > fx)
-    nlayer = 12
-    idx = np.clip(np.floor(horizon * nlayer).astype(int), 0, nlayer + 2)
+    # thin beds: 24 layers over the model depth (Marmousi has ~160 over
+    # 3 km; at bench resolution this gives beds of ~n/30 cells)
+    nlayer = 24
+    idx = np.clip(np.floor(horizon * nlayer).astype(int), 0, nlayer + 4)
     rng = np.random.default_rng(42)
-    vels = (1500. + 1600. * np.arange(nlayer + 3) / (nlayer + 2)
-            + rng.uniform(-120., 120., nlayer + 3))
+    vels = (1500. + 2200. * np.arange(nlayer + 5) / (nlayer + 4)
+            + rng.uniform(-220., 220., nlayer + 5))
     vels = np.maximum.accumulate(vels)          # compaction trend
     c = vels[idx]
     r2 = (z - 0.45) ** 2 + (x - 0.5) ** 2
     c = c - 300. * np.exp(-r2 / 0.01)
+    # band-limited roughness: filtered white noise with a 1/k radial
+    # spectrum between ~2 and n/8 cycles across the model, normalized
+    # to 120 m/s rms — velocity varies on every scale in both axes
+    w = rng.standard_normal((n, n))
+    kz = np.fft.fftfreq(n)[:, None]
+    kx = np.fft.fftfreq(n)[None, :]
+    k = np.sqrt(kz ** 2 + kx ** 2)
+    lo, hi = 2.0 / n, n / 8.0 / n
+    filt = np.where((k >= lo) & (k <= hi), 1.0 / np.maximum(k, lo), 0.0)
+    rough = np.real(np.fft.ifft2(np.fft.fft2(w) * filt))
+    rough = rough / max(rough.std(), 1e-30)
+    c = c + 120.0 * rough
     return np.asarray(np.maximum(c, 1400.), dtype)
 
 
@@ -232,23 +255,35 @@ def measure_tpu(n, nsrc, medium='hom'):
     op = realio_jit(prep_fn)(jnp.asarray(c_real))
 
     rng = np.random.default_rng(0)
-    pos = rng.integers(n // 8, 7 * n // 8, size=(nsrc, 2)).astype(np.int32)
-    b = realio_jit(make_rhs)(pos)   # device-resident C-pair RHS
+    # the survey: NSRC_TOTAL distinct sources solved in HBM-sized
+    # batches of nsrc through ONE prepared operator (mirrors the
+    # reference's one-factorization-per-survey amortization); the hom
+    # headline runs the full survey, heterogeneous extras keep a single
+    # batch to protect the bench budget
+    total = BENCH_NSRC_TOTAL if medium == 'hom' else nsrc
+    nbatch = max(1, total // nsrc)
+    pos_all = rng.integers(n // 8, 7 * n // 8,
+                           size=(nbatch, nsrc, 2)).astype(np.int32)
+    bs = [realio_jit(make_rhs)(p) for p in pos_all]
 
     solver = make_chunked_solver(cfg, chunk=chunk)
 
     # warm-up / compile
-    _, iters, relres = solver(op, b)
+    _, iters, relres = solver(op, bs[0])
 
+    reps = BENCH_REPEATS if nbatch == 1 else 1
     times = []
-    for _ in range(BENCH_REPEATS):
+    iters_bat = []
+    for _ in range(reps):
         t0 = time.time()
-        _, iters, relres = solver(op, b)
+        for bb in bs:
+            _, iters, relres = solver(op, bb)
+            iters_bat.append(int(iters))
         times.append(time.time() - t0)
-    t = min(times)
+    t = min(times) / nbatch   # per-batch seconds (throughput basis)
 
     info = {
-        'iters': int(iters),
+        'iters': int(round(np.mean(iters_bat))),
         'relres': float(relres),
         'device': str(jax.devices()[0]),
         'freq_hz': freq,
@@ -256,6 +291,8 @@ def measure_tpu(n, nsrc, medium='hom'):
         'chunk': chunk,
         'medium': medium,
         'panels': cfg.strat_panels,
+        'nsrc_total': nbatch * nsrc,
+        'batches': nbatch,
     }
 
     # roofline accounting: modeled HBM bytes moved per iteration x
@@ -573,60 +610,58 @@ def measure_gradient(n, nsrc, nfreq, medium='layered'):
                      'finite': bool(np.isfinite(grad).all())}
 
 
+_LU_CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              'LU_CACHE.json')
+
+
+def _load_lu_cache():
+    '''
+    Persisted SuperLU measurements (tools/measure_lu_cache.py): the
+    factorization is deterministic per grid, so it is measured ONCE —
+    at 512^2 AND 1024^2, which pins the factor-time exponent with two
+    points instead of the assumed 1.5 — and every driver bench run just
+    loads it (round-4 postmortem: the in-run LU measurement ate driver
+    budget before any extras row, three rounds running).
+    '''
+
+    try:
+        with open(_LU_CACHE_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def measure_lu_baseline(n, nsrc):
     '''
     Single-core SciPy SuperLU at an LU_N x LU_N version of the same
-    physics, extrapolated to n x n: factor time x (N/N0)^1.5, solve time
-    x (N/N0) x log ratio. Throughput = nsrc / (factor + nsrc * solve).
+    physics, extrapolated to n x n: factor time x scale^p (p fitted
+    from the 512/1024 cache pair when available, else the standard 2D
+    nested-dissection 1.5), solve time x scale^p_s (fitted) or
+    x scale x log ratio. Throughput = nsrc / (factor + nsrc * solve).
+    Uses LU_CACHE.json when present; measures in-run only as fallback.
     '''
 
-    import scipy.sparse as sp
-    import scipy.sparse.linalg as spla
-    import jax
-    # the LU baseline runs in the parent process: never initialize the
-    # (possibly wedged) TPU backend here
-    jax.config.update('jax_platforms', 'cpu')
-    import jax.numpy as jnp
-    from zephyr_tpu.ops.minizephyr_coeff import minizephyr_planes
-    from zephyr_tpu.ops.stencil import OFFSETS
+    cache = _load_lu_cache()
+    p_f, p_s, source = 1.5, None, 'measured in-run'
+    if cache and str(LU_N) in cache.get('grids', {}):
+        e = cache['grids'][str(LU_N)]
+        t_factor, t_solve = float(e['t_factor']), float(e['t_solve'])
+        p_f = float(cache.get('factor_exponent', 1.5))
+        p_s = cache.get('solve_exponent')
+        source = 'LU_CACHE.json (host %s, grids %s)' % (
+            cache.get('host', '?'), sorted(cache.get('grids', {})))
+    else:
+        from tools.measure_lu_cache import measure_lu
+        t_factor, t_solve = measure_lu(LU_N, nsrc)
 
-    cval = 1500.0
-    freq = cval / BENCH_WAVELEN_CELLS
-    planes = np.asarray(minizephyr_planes(
-        (cval * jnp.ones((LU_N, LU_N))).astype(jnp.complex64),
-        jnp.ones((LU_N, LU_N), jnp.float32), freq))
-
-    nz = nx = LU_N
-    N0 = nz * nx
-    I, J = np.mgrid[0:nz, 0:nx]
-    rows = (I * nx + J).ravel()
-    rr, cc, vv = [], [], []
-    for k, (dz, dx) in enumerate(OFFSETS):
-        In, Jn = I + dz, J + dx
-        valid = ((In >= 0) & (In < nz) & (Jn >= 0) & (Jn < nx)).ravel()
-        cols = (np.clip(In, 0, nz - 1) * nx + np.clip(Jn, 0, nx - 1)).ravel()
-        rr.append(rows[valid])
-        cc.append(cols[valid])
-        vv.append(planes[k].ravel()[valid])
-    A = sp.coo_matrix((np.concatenate(vv),
-                       (np.concatenate(rr), np.concatenate(cc))),
-                      shape=(N0, N0)).tocsc()
-
-    t0 = time.time()
-    lu = spla.splu(A)
-    t_factor = time.time() - t0
-
-    b = np.zeros((N0, nsrc), dtype=np.complex64)
-    for i in range(nsrc):
-        b[(LU_N // 2) * LU_N + LU_N // 2 + i, i] = 1.0
-    t0 = time.time()
-    lu.solve(b)
-    t_solve = (time.time() - t0) / nsrc
-
+    N0 = LU_N * LU_N
     N = n * n
     scale = N / N0
-    t_factor_big = t_factor * scale ** 1.5
-    t_solve_big = t_solve * scale * (np.log(N) / np.log(N0))
+    t_factor_big = t_factor * scale ** p_f
+    if p_s is not None:
+        t_solve_big = t_solve * scale ** float(p_s)
+    else:
+        t_solve_big = t_solve * scale * (np.log(N) / np.log(N0))
     throughput = nsrc / (t_factor_big + nsrc * t_solve_big)
     # RHS-amortization assumption (stated explicitly: the headline ratio
     # is sensitive to it). The factorization is amortized over the SAME
@@ -639,9 +674,85 @@ def measure_lu_baseline(n, nsrc):
                         't_factor_extrapolated': t_factor_big,
                         't_solve_extrapolated': t_solve_big,
                         'lu_grid': LU_N,
+                        'factor_exponent': p_f,
+                        'solve_exponent': p_s,
+                        'source': source,
                         'amortization': 'factor amortized over %d RHS'
                                         % nsrc,
                         'lu_throughput_151src': amortized_151}
+
+
+def measure_multiscale(n=None):
+    '''
+    BASELINE.md staged config 5: frequency-continuation multiscale FWI
+    (the reference's Test Inversion / MultiScale workflow,
+    notebooks/Test Inversion.ipynb cells 4-5) at a small benchmark
+    scale — 2 frequency blocks swept low-to-high, 3 gradient iterations
+    per block, warm-started — on the production chunked TPU drivers
+    (data: multifreq_dpred_chunked; gradient: fwi_misfit_grad_chunked).
+    Returns total wall seconds + the misfit trajectory.
+    '''
+
+    _common_setup()
+    n = n or int(os.environ.get('ZT_BENCH_MS_N', 256))
+    nsrc, nrec, nfreq = 8, 32, 4
+    iters_pb = int(os.environ.get('ZT_BENCH_MS_ITERS', 3))
+
+    from zephyr_tpu.parallel.multifreq import (multifreq_dpred_chunked,
+                                               fwi_misfit_grad_chunked)
+    cfg = _solver_cfg()
+    cval = 1500.0
+    freqs = np.linspace(0.4, 1.0, nfreq) * (cval / BENCH_WAVELEN_CELLS)
+
+    c_true = _layered_c(n, np.float64)
+    c_true[(3 * n) // 8:(5 * n) // 8, (3 * n) // 8:(5 * n) // 8] -= 150.
+    # start from the depth trend only (no layers, no anomaly)
+    m0 = np.broadcast_to(np.linspace(1500., 3000., n)[:, None],
+                         (n, n)).copy()
+    rho = np.ones((n, n))
+
+    sx = np.linspace(n // 8, 7 * n // 8, nsrc).astype(int)
+    q = np.zeros((nfreq, nsrc, n, n), np.complex64)
+    for i in range(nfreq):
+        q[i, np.arange(nsrc), n // 8, sx] = 1.0
+    rxs = np.linspace(n // 8, 7 * n // 8, nrec).astype(int)
+    R = np.zeros((nrec, n * n), np.complex64)
+    R[np.arange(nrec), (n // 8) * n + rxs] = 1.0
+
+    chunk = int(os.environ.get('ZT_BENCH_CHUNK', 16))
+    t0 = time.time()
+    dobs = multifreq_dpred_chunked(c_true, rho, freqs, q, R, config=cfg,
+                                   chunk=chunk)
+    t_data = time.time() - t0
+
+    blocks = [[0, 1], [2, 3]]
+    m = m0.copy()
+    hist = []
+    t0 = time.time()
+    for blk in blocks:
+        lr = None
+        for _ in range(iters_pb):
+            mis, grad = fwi_misfit_grad_chunked(
+                m, rho, freqs[blk], q[blk], R, dobs[blk], config=cfg,
+                chunk=chunk)
+            if lr is None:
+                # first step ~30 m/s at the gradient peak; fixed within
+                # the block (a wall-clock row, not a convergence study)
+                lr = 30.0 / max(float(np.abs(grad).max()), 1e-30)
+            m = m - lr * grad
+            hist.append(float(mis))
+    wall = time.time() - t0
+    import jax
+    err0 = float(np.linalg.norm(m0 - c_true))
+    err1 = float(np.linalg.norm(m - c_true))
+    return wall, {'grid': n, 'nfreq': nfreq, 'nsrc': nsrc, 'nrec': nrec,
+                  'blocks': blocks, 'iters_per_block': iters_pb,
+                  'data_gen_s': round(t_data, 2),
+                  'misfit_trajectory': [round(h, 4) for h in hist],
+                  'misfit_reduction': round(hist[-1] / hist[0], 4)
+                  if hist and hist[0] else None,
+                  'model_err_reduction': round(err1 / err0, 4),
+                  'device': str(jax.devices()[0])}
 
 
 def _probe_device(timeout_s=300):
@@ -718,6 +829,9 @@ def _run_measure_only(mode):
     elif mode == 'freqblock':
         t_total, info = measure_freqblock()
         print(json.dumps({'wall_s': t_total, 'info': info}))
+    elif mode == 'multiscale':
+        t_total, info = measure_multiscale()
+        print(json.dumps({'wall_s': t_total, 'info': info}))
 
 
 _PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -744,8 +858,8 @@ def _probe_with_backoff(window_s):
     '''
 
     attempts = int(os.environ.get('ZT_BENCH_PROBE_ATTEMPTS', 4))
-    wait = float(os.environ.get('ZT_BENCH_PROBE_WAIT', 60))
-    timeout_s = float(os.environ.get('ZT_BENCH_PROBE_TIMEOUT', 150))
+    wait = float(os.environ.get('ZT_BENCH_PROBE_WAIT', 45))
+    timeout_s = float(os.environ.get('ZT_BENCH_PROBE_TIMEOUT', 120))
     t0 = time.time()
     for i in range(attempts):
         rem = window_s - (time.time() - t0)
@@ -770,7 +884,11 @@ def main():
     # flushed to BENCH_PARTIAL.json AND re-printed as a complete JSON
     # line after every row (the driver reads the last line).
     t_start = time.time()
-    budget = float(os.environ.get('ZT_BENCH_TOTAL_BUDGET', 2400))
+    # 1450 s default: round 4's 2400 s default exceeded the driver's
+    # kill window (rc=124 mid-extras, third round running); with the
+    # LU baseline cached and the persistent compile cache pre-warmed
+    # the full row set fits well inside this
+    budget = float(os.environ.get('ZT_BENCH_TOTAL_BUDGET', 1450))
 
     def _left():
         return budget - (time.time() - t_start)
@@ -791,8 +909,16 @@ def main():
         _flush_partial(result)
         print(json.dumps(result), flush=True)
 
+    # every row appears in the flushed detail from the very start, so a
+    # killed run is always distinguishable from a crash or a skip
+    _EXTRA_ROWS = ('gradient', 'layered', 'marmousi', 'eurus',
+                   'eurus_layered', 'freqblock', 'gradient_marmousi',
+                   'multiscale')
+    for label in ('tpu', 'lu_baseline') + _EXTRA_ROWS:
+        detail[label] = {'skipped': 'not reached'}
+
     platform, probes = _probe_with_backoff(min(float(
-        os.environ.get('ZT_BENCH_PROBE_WINDOW', 480)), budget / 4))
+        os.environ.get('ZT_BENCH_PROBE_WINDOW', 240)), budget / 5))
     if platform is None:
         # TPU runtime hung at init across all retries: fall back to CPU
         # so the benchmark still produces a (clearly labelled) number
@@ -825,35 +951,65 @@ def main():
         detail.setdefault('failures', {})[str(n)] = out
         _checkpoint()
     if measured is None:
-        detail['tpu'] = detail.get('tpu') or {'skipped':
-                                              'all grid sizes failed'}
+        if detail.get('tpu', {}).get('skipped') == 'not reached':
+            detail['tpu'] = {'skipped': 'all grid sizes failed'}
         _checkpoint()
         return
 
     n = measured['grid']
     tpu_throughput = measured['throughput']
     detail['tpu'] = measured['info']
-    result['metric'] = ('Helmholtz solves/sec/chip at %d^2, %d sources '
-                        'batched' % (n, BENCH_NSRC))
+    kind = measured['info'].get('roofline', {}).get('device_kind', '')
+    if kind and 'v5p' not in kind.lower():
+        # goal normalization (VERDICT r4 weak #8): BASELINE.md names a
+        # v5p-8 (2765 GB/s peak HBM/chip); record what this run's
+        # bandwidth-bound numbers are measured on so the ratio is not
+        # silently under-read
+        detail['hardware_note'] = (
+            'measured on "%s" (not the v5p named in BASELINE.md; v5p '
+            'has ~%.1fx this chip\'s HBM bandwidth and this solver is '
+            'bandwidth-bound — vs_baseline is NOT rescaled)'
+            % (kind, 2765e9 / (_peak_bw(kind) or 2765e9)))
+    result['metric'] = (
+        'Helmholtz solves/sec/chip at %d^2, %d sources through one '
+        'prepared operator (batches of %d); vs_baseline = vs single-'
+        'core SuperLU amortized over 151 RHS/factorization'
+        % (n, measured['info'].get('nsrc_total', BENCH_NSRC),
+           BENCH_NSRC))
     result['value'] = round(tpu_throughput, 4)
     _checkpoint()
 
     lu_throughput, lu_info = measure_lu_baseline(n, BENCH_NSRC)
     detail['lu_baseline'] = lu_info
     detail['lu_throughput'] = lu_throughput
-    result['vs_baseline'] = round(tpu_throughput / lu_throughput, 2)
-    detail['vs_lu_151src_amortized'] = round(
+    # headline comparator (VERDICT r4 #2): the LU amortized at the
+    # reference's own survey scale (151 sources/factorization, Test
+    # Inversion.ipynb) — the comparator MOST favorable to the
+    # reference. The looser same-16-RHS ratio stays in the detail.
+    result['vs_baseline'] = round(
         tpu_throughput / lu_info['lu_throughput_151src'], 2)
+    detail['vs_lu_151src_amortized'] = result['vs_baseline']
+    detail['vs_lu_16src_amortized'] = round(
+        tpu_throughput / lu_throughput, 2)
     _checkpoint()
 
     run_extras = RUN_EXTRAS and not os.environ.get('ZT_BENCH_FORCE_CPU')
 
     def _lu_scaled(grid):
-        'LU factor/solve times rescaled from the measured LU_N grid.'
+        '''
+        LU factor/solve times rescaled from the measured LU_N grid,
+        with the cache-fitted exponents when available (two measured
+        points, 512^2 + 1024^2 — VERDICT r4 weak #7).
+        '''
         s = (grid * grid) / (LU_N * LU_N)
-        tf = lu_info['t_factor_measured'] * s ** 1.5
-        ts = (lu_info['t_solve_measured'] * s
-              * (np.log(grid * grid) / np.log(LU_N * LU_N)))
+        tf = lu_info['t_factor_measured'] * s ** lu_info.get(
+            'factor_exponent', 1.5)
+        p_s = lu_info.get('solve_exponent')
+        if p_s is not None:
+            ts = lu_info['t_solve_measured'] * s ** float(p_s)
+        else:
+            ts = (lu_info['t_solve_measured'] * s
+                  * (np.log(grid * grid) / np.log(LU_N * LU_N)))
         return tf, ts
 
     # Extras, in priority order. The gradient row runs FIRST: it is the
@@ -942,6 +1098,35 @@ def main():
         else:
             detail['freqblock'] = out or {'skipped': 'no output'}
 
+    def _multiscale_row():
+        'BASELINE staged config 5: frequency-continuation FWI, timed.'
+        left = _under_budget('multiscale', detail)
+        if not left:
+            return
+        out = _measure_subprocess('multiscale', timeout=left)
+        if out and 'wall_s' in out:
+            info = out['info']
+            ms_n = info['grid']
+            tf, ts = _lu_scaled(ms_n)
+            # per gradient evaluation per frequency the LU path pays one
+            # factorization (the model changed) + forward & adjoint
+            # batched solves (the reference mux,
+            # zephyr/middleware/problem.py:144-152); the data
+            # generation adds one factor + forward per frequency
+            nblk = len(info['blocks'])
+            nf_blk = info['nfreq'] // max(nblk, 1)
+            ns = info['nsrc']
+            lu_wall = (nblk * info['iters_per_block'] * nf_blk
+                       * (tf + 2 * ns * ts)
+                       + info['nfreq'] * (tf + ns * ts))
+            total_wall = out['wall_s'] + info.get('data_gen_s', 0.0)
+            detail['multiscale'] = dict(
+                info, wall_s=round(out['wall_s'], 2),
+                lu_wall_estimate_s=round(lu_wall, 2),
+                vs_lu=round(lu_wall / total_wall, 2))
+        else:
+            detail['multiscale'] = out or {'skipped': 'no output'}
+
     gradm_n = int(os.environ.get('ZT_BENCH_GRADM_N', min(BENCH_N, 1024)))
     rows = [('gradient', _grad_row),
             ('layered', lambda: _throughput_row('layered', 'layered',
@@ -954,7 +1139,8 @@ def main():
             ('freqblock', _freqblock_row),
             ('gradient_marmousi',
              lambda: _grad_row('gradient_marmousi', medium='marmousi',
-                               grid=gradm_n))]
+                               grid=gradm_n)),
+            ('multiscale', _multiscale_row)]
     for label, fn in rows:
         if not run_extras:
             detail[label] = {'skipped': 'extras disabled (%s)'

@@ -27,9 +27,7 @@ try:
         # TPU-only: /tmp cache can survive snapshot/restore onto a host
         # with different CPU features; XLA:CPU then loads foreign AOT
         # results (SIGILL risk). TPU executables are host-agnostic.
-        jax.config.update('jax_compilation_cache_dir',
-                          os.environ.get('ZT_JAX_CACHE',
-                                         '/tmp/zephyr_tpu_jaxcache'))
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs',
                           1.0)
 except Exception:

@@ -40,9 +40,15 @@ def rel(a, b):
 
 def both(tag, fn, *args):
     'Run fn on TPU and CPU backends; print the relative difference.'
+    from zephyr_tpu.core.realio import realio_jit
     cpu = jax.devices('cpu')[0]
-    args_d = [jnp.asarray(a) for a in args]
-    out_t = jax.tree.map(np.asarray, jax.jit(fn)(*args_d))
+    # default-backend branch: complex inputs/outputs cross the
+    # host<->device boundary as re/im pairs (the axon TPU runtime
+    # computes complex fine but cannot TRANSFER complex arrays —
+    # core/realio.py; a direct jnp.asarray/np.asarray would fail at
+    # first materialization on the backend this tool exists to debug)
+    out_t = jax.tree.map(np.asarray, realio_jit(fn, host_output=True)(
+        *args))
     with jax.default_device(cpu):
         args_c = [jnp.asarray(np.asarray(a)) for a in args]
         out_c = jax.tree.map(np.asarray, jax.jit(fn)(*args_c))

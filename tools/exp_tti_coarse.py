@@ -21,7 +21,7 @@ if os.environ.get('EXP_TPU', '0') != '1':
     jax.config.update('jax_platforms', 'cpu')
 import jax.numpy as jnp
 
-from zephyr_tpu.core.realio import realio_jit, join_complex
+from zephyr_tpu.core.realio import realio_jit
 from zephyr_tpu.ops.eurus_coeff import eurus_planes
 from zephyr_tpu.solver.helmholtz import (SolverConfig, prepare_operator,
                                          shifted_velocity)
@@ -48,13 +48,23 @@ def main():
         return prepare_operator(planes, pplanes, cfg,
                                 with_transpose=False)
 
-    op = join_complex(realio_jit(prep_fn)(jnp.asarray(c_np)))
-    hier = op.hier
-    print('backend', jax.default_backend(), 'levels',
-          len(hier.levels), flush=True)
-    lvl = hier.levels[-1]
+    op = realio_jit(prep_fn)(jnp.asarray(c_np))   # device C-pair tree
+    # materialize the dense coarse operator and the stored inverse
+    # through the realio boundary (host_output re/im pairs) — a direct
+    # np.asarray of complex device arrays is a complex d->h transfer
+    # the axon TPU runtime cannot perform
     from zephyr_tpu.ops.stencil import planes_to_dense_jax
-    dense = np.asarray(jax.jit(planes_to_dense_jax)(lvl.planes))
+
+    def coarse_parts(op_in):
+        hier = op_in.hier
+        return {'nlevels': len(hier.levels),
+                'dense': planes_to_dense_jax(hier.levels[-1].planes),
+                'cinv': hier.coarse_inv}
+
+    parts = realio_jit(coarse_parts, host_output=True)(op)
+    print('backend', jax.default_backend(), 'levels',
+          int(parts['nlevels']), flush=True)
+    dense = np.asarray(parts['dense'])
     N = dense.shape[0]
     print('coarse dense N =', N, 'cond estimate (svd on host, f64):',
           flush=True)
@@ -62,8 +72,8 @@ def main():
     print('  sigma_max %.3e sigma_min %.3e cond %.3e'
           % (sv[0], sv[-1], sv[0] / sv[-1]), flush=True)
 
-    if hier.coarse_inv is not None:
-        cinv = np.asarray(hier.coarse_inv)
+    if parts['cinv'] is not None:
+        cinv = np.asarray(parts['cinv'])
         resid = np.linalg.norm(
             dense.astype(np.complex128) @ cinv.astype(np.complex128)
             - np.eye(N)) / np.sqrt(N)

@@ -46,7 +46,7 @@ def main_dump(out):
         jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
 
-    from zephyr_tpu.core.realio import realio_jit, join_complex
+    from zephyr_tpu.core.realio import realio_jit, join_complex_host
     from zephyr_tpu.ops.eurus_coeff import eurus_planes
     from zephyr_tpu.ops.stencil import apply_block_stencil
     from zephyr_tpu.solver.helmholtz import (SolverConfig,
@@ -74,30 +74,46 @@ def main_dump(out):
         return prepare_operator(planes, pplanes, cfg,
                                 with_transpose=False)
 
-    op = join_complex(realio_jit(prep_fn)(jnp.asarray(c_np)))
+    # every host<->device crossing is a re/im pair (realio): the axon
+    # TPU runtime computes complex fine but cannot TRANSFER complex
+    # arrays, and this tool's whole point is to run on that backend
+    op = realio_jit(prep_fn)(jnp.asarray(c_np))   # device C-pair tree
 
     rng = np.random.default_rng(7)
     x_np = (rng.standard_normal((1, 2, n, n))
             + 1j * rng.standard_normal((1, 2, n, n))).astype(np.complex64)
-    x = jnp.asarray(x_np)
 
-    mv = jax.jit(lambda u: apply_block_stencil(op.planes, u))
-    ax = np.asarray(mv(x))
+    def mv_fn(op_in, u):
+        return apply_block_stencil(op_in.planes, u)
 
-    M = _make_precond(op, cfg)
-    mx = np.asarray(jax.jit(M)(x))
+    ax = realio_jit(mv_fn, host_output=True)(op, x_np)
+
+    def mx_fn(op_in, u):
+        return _make_precond(op_in, cfg)(u)
+
+    mx = realio_jit(mx_fn, host_output=True)(op, x_np)
+
     # one left-preconditioned Richardson step: x - M(A x - x) exercises
     # the full outer-iteration data path
-    rich = np.asarray(jax.jit(lambda u: u - M(mv(u) - u))(x))
+    def rich_fn(op_in, u):
+        M = _make_precond(op_in, cfg)
+        return u - M(apply_block_stencil(op_in.planes, u) - u)
 
+    rich = realio_jit(rich_fn, host_output=True)(op, x_np)
+
+    # host materialization of the operator parts: join the C pairs on
+    # the host from their (transferable) real planes
+    op_host = join_complex_host(op)
     out_d = {'Ax': ax, 'Mx': mx, 'rich': rich,
-             'planes': np.asarray(op.planes)}
-    if getattr(op, 'strat', None) is not None:
-        s = op.strat
+             'planes': np.asarray(op_host.planes)}
+    if getattr(op_host, 'strat', None) is not None:
+        s = op_host.strat
         for f in s._fields:
             v = getattr(s, f)
             try:
-                out_d['strat_' + f] = np.asarray(v)
+                out_d['strat_' + f] = np.asarray(v, dtype=np.complex64
+                                                 if np.iscomplexobj(v)
+                                                 else np.float32)
             except Exception:
                 pass
     np.savez(out, **out_d)

@@ -48,8 +48,8 @@ from bench import _layered_c  # noqa: E402
 WAVELEN = 16.0
 
 
-def run(n, medium, cfg, nsrc=2, chunk=None, label=''):
-    iso = label == 'iso'
+def run(n, medium, cfg, nsrc=2, chunk=None, label='', iso=False):
+    'iso=True zeroes the Thomsen parameters (isotropic block system).'
     freq = 1500.0 / WAVELEN
     if medium == 'layered':
         c_np = _layered_c(n, np.float32)
@@ -126,7 +126,10 @@ VARIANTS = {
     'mg_only': dict(precond='mg'),
     'fft2d': dict(fft_mode='2d'),
     'short': dict(maxiter=40),
-    'iso': {},           # isotropic medium routed through the block op
+    # isotropic medium routed through the block op: the physics flag is
+    # carried explicitly ('_iso': popped before SolverConfig), not
+    # inferred from the display label
+    'iso': {'_iso': True},
 }
 
 
@@ -135,9 +138,11 @@ def main():
     names = sys.argv[2:] or ['base']
     media = os.environ.get('EXP_MEDIA', 'layered').split(',')
     for name in names:
-        cfg = SolverConfig(**dict(BASE, **VARIANTS[name]))
+        opts = dict(BASE, **VARIANTS[name])
+        iso = opts.pop('_iso', False)
+        cfg = SolverConfig(**opts)
         for medium in media:
-            run(n, medium, cfg, label=name)
+            run(n, medium, cfg, label=name, iso=iso)
 
 
 if __name__ == '__main__':

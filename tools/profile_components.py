@@ -69,14 +69,29 @@ def main():
 
     FB = n * n * 8  # one complex64 field in bytes
 
-    def timeit(label, fn, *args, reps=10, traffic=None):
+    def _sync(out):
+        '''
+        Force completion with a SCALAR host fetch: on the axon runtime
+        ``block_until_ready`` returns without waiting for remoted
+        computations (observed: 0.16 ms "matvec" at 2048^2 x16), so the
+        only reliable fence is fetching data that depends on the result.
+        Device ops execute in order, so summing one leaf waits for the
+        whole dispatched program.
+        '''
+
+        leaves = [x for x in jax.tree_util.tree_leaves(out)
+                  if hasattr(x, 'dtype')]
+        return float(np.asarray(jnp.sum(
+            leaves[0].astype(jnp.float32).ravel()[:8])))
+
+    def timeit(label, fn, *args, reps=5, traffic=None):
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             out = fn(*args)
-            jax.block_until_ready(out)
+            _sync(out)
             ts.append(time.perf_counter() - t0)
         t = min(ts)
         line = '%-28s %8.2f ms' % (label, t * 1e3)
@@ -86,53 +101,113 @@ def main():
         print(line, flush=True)
         return t
 
-    # 1. matvec: batched fused stencil apply over all 16 RHS
-    def mv_all(v):
-        return jax.vmap(lambda vi:
-                        apply_block_stencil_fast(op.planes, vi))(v)
+    # NOTE: ``op`` is a device-resident C-pair tree; every timed
+    # function takes it as an ARGUMENT so realio_jit joins the pairs
+    # inside the jit boundary (a closure would capture raw C pairs).
+    # Every stage loops LOOPN times inside ONE device program
+    # (lax.fori_loop feeding output back to input) so the tunnel's
+    # ~20 ms per-dispatch latency amortizes away.
+    from jax import lax as _lax
+    LOOPN = 8
 
-    mv_rio = realio_jit(mv_all)
-    # traffic: 9 complex planes read once per RHS pass (amortized across
-    # the batch inside one fused kernel is NOT what vmap gives us — each
-    # RHS re-reads the planes) + in/out fields
-    t_mv = timeit('matvec x%d' % nsrc, mv_rio, b,
-                  traffic=nsrc * (9 * FB + 2 * FB))
+    def _loop(body):
+        def looped(op_in, v):
+            return _lax.fori_loop(0, LOOPN, lambda i, x: body(op_in, x),
+                                  v)
+        return looped
+
+    # 1. matvec: batched fused stencil apply over all 16 RHS
+    def mv_all(op_in, v):
+        return jax.vmap(lambda vi:
+                        apply_block_stencil_fast(op_in.planes, vi))(v)
+
+    mv_rio = realio_jit(_loop(mv_all))
+    t_mv = timeit('matvec x%d' % nsrc, mv_rio, op, b,
+                  traffic=LOOPN * nsrc * (9 * FB / nsrc + 2 * FB))
 
     # 1b. the stratified PCR interior solve alone (x-FFT + precomputed
-    # cyclic-reduction sweep + inverse FFT at the half grid) — the
-    # modeled-traffic audit: each PCR level re-reads and re-writes the
-    # RHS (no fusion across levels), so its REAL traffic is
-    # ~nsteps x (r/w + bf16 factors) at the half grid, far above the
-    # 1.5F the roofline model books
-    from zephyr_tpu.solver.stratified import stratified_apply
-    nzh = op.strat.dinv.shape[-2] if op.strat is not None else 0
-    if op.strat is not None:
+    # cyclic-reduction sweep + inverse FFT at the half grid), plus its
+    # separated sub-stages (FFT only / PCR sweep only)
+    from zephyr_tpu.solver.stratified import stratified_apply, pcr_apply
+    op_host_strat = op.strat  # C-pair view, only for shapes
+    if op_host_strat is not None:
         import numpy as _np
+        nzh, nxh = op_host_strat.dinv.re.shape[-2:] \
+            if hasattr(op_host_strat.dinv, 're') \
+            else op_host_strat.dinv.shape[-2:]
 
-        def strat_all(v):
-            # apply at the spectral-solve resolution (fft_scale=2:
-            # half grid)
-            return jax.vmap(lambda vi: stratified_apply(op.strat,
+        def half_input(op_in, v):
+            # real data at the half-grid shape (derived from b, NOT
+            # zeros: constants fold at compile time)
+            return v[..., :nzh, :nxh] + 0.1
+
+        def strat_one(op_in, v):
+            return jax.vmap(lambda vi: stratified_apply(op_in.strat,
                                                         vi))(v)
 
-        bh = realio_jit(lambda p: jnp.zeros((nsrc, 1, nzh,
-                                             op.strat.dinv.shape[-1]),
-                                            jnp.complex64))(b)
-        Fh = nzh * op.strat.dinv.shape[-1] * 8
+        def strat_all(op_in, v):
+            return _lax.fori_loop(
+                0, LOOPN, lambda i, x: strat_one(op_in, x),
+                half_input(op_in, v))
+
+        Fh = nzh * nxh * 8
         nsteps = int(_np.ceil(_np.log2(max(nzh, 2))))
-        strat_rio = realio_jit(strat_all)
-        timeit('strat PCR+FFT x%d' % nsrc, strat_rio, bh,
-               traffic=nsrc * (nsteps * (2 + 0.5) + 4) * Fh)
+        timeit('strat PCR+FFT x%d' % nsrc, realio_jit(strat_all), op, b,
+               traffic=LOOPN * nsrc * (nsteps * 0.5 + 2 + 4) * Fh)
 
-    # 2. preconditioner application (the V-cycle hybrid)
-    M = _make_precond(op, cfg)
+        def fft_all(op_in, v):
+            return _lax.fori_loop(
+                0, LOOPN,
+                lambda i, x: jnp.fft.ifft(jnp.fft.fft(x, axis=-1),
+                                          axis=-1),
+                half_input(op_in, v))
 
-    def prec_all(v):
+        timeit('  x-FFT+iFFT x%d' % nsrc, realio_jit(fft_all), op, b,
+               traffic=LOOPN * nsrc * 4 * Fh)
+
+        def pcr_all(op_in, v):
+            return _lax.fori_loop(
+                0, LOOPN,
+                lambda i, x: jax.vmap(lambda vi: pcr_apply(op_in.strat,
+                                                           vi))(x),
+                half_input(op_in, v))
+
+        timeit('  PCR sweep x%d' % nsrc, realio_jit(pcr_all), op, b,
+               traffic=LOOPN * nsrc * (2 + nsteps * 0.5) * Fh)
+
+    # 1c. V-cycle pieces at the fine grid (the fused hybrid's stages):
+    # down+up is a loopable fine->fine unit; adding the coarse V-cycle
+    # between them gives the full 'mg' preconditioner, so the coarse
+    # tail cost is (mg − down+up)
+    from zephyr_tpu.solver.multigrid import (presmooth_restrict,
+                                             prolong_add_smooth, v_cycle)
+
+    def downup_one(op_in, v):
+        lvl0 = op_in.hier.levels[0]
+        u, rc = jax.vmap(lambda vi: presmooth_restrict(
+            lvl0, vi, cfg.mg_omega, cfg.mg_nu1))(v)
+        return jax.vmap(lambda ui, bi, ei: prolong_add_smooth(
+            lvl0, ui, bi, ei, cfg.mg_omega, cfg.mg_nu2))(u, v, rc)
+
+    t_downup = timeit('fine down+up', realio_jit(_loop(downup_one)),
+                      op, b, traffic=LOOPN * nsrc * 6 * FB)
+
+    def mgfull_one(op_in, v):
+        return jax.vmap(lambda vi: v_cycle(
+            op_in.hier, vi, omega=cfg.mg_omega, nu1=cfg.mg_nu1,
+            nu2=cfg.mg_nu2, coarse_iters=cfg.mg_coarse_iters))(v)
+
+    timeit('full v-cycle (all levels)', realio_jit(_loop(mgfull_one)),
+           op, b, traffic=LOOPN * nsrc * 8 * FB)
+
+    # 2. preconditioner application (the fused hybrid)
+    def prec_one(op_in, v):
+        M = _make_precond(op_in, cfg)
         return jax.vmap(M)(v)
 
-    prec_rio = realio_jit(prec_all)
-    t_pc = timeit('precond x%d' % nsrc, prec_rio, b,
-                  traffic=nsrc * 22 * FB)
+    t_pc = timeit('precond x%d' % nsrc, realio_jit(_loop(prec_one)),
+                  op, b, traffic=LOOPN * nsrc * 22 * FB)
+    t_mv, t_pc = t_mv / LOOPN, t_pc / LOOPN
 
     # 3. one full chunk (chunk BiCGStab iterations, batched)
     solver = make_chunked_solver(cfg, chunk=chunk)

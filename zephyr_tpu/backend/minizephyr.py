@@ -97,9 +97,20 @@ class MiniZephyrHD(MiniZephyr):
 class MiniZephyr25D(BaseDiscretization, DiscretizationWrapper):
     '''
     2.5D modelling by Fourier summation over cross-line wavenumbers
-    (parity: minizephyr.py:346-461). The per-ky systems share their grid
-    and differ only in the ky mass term, so on TPU they are solved as one
-    vmapped batch over (ky, rhs); the weighted reduction is a single sum.
+    (parity: minizephyr.py:346-461).
+
+    This compat wrapper keeps the reference's host-driven contract:
+    ``__mul__`` loops the ky subproblems SERIALLY on the host, each with
+    its own cached factor lifecycle (BaseSCCache semantics), summing the
+    weighted wavefields — matching DiscretizationWrapper's behavior so
+    spUpdates/maskKeys/factors parity tests hold exactly.
+
+    The TPU-batched production path is elsewhere: the per-ky systems
+    share their grid and differ only in the ky mass term, so
+    ``parallel.multifreq.multifreq_dpred_25d`` (and the middleware 2.5D
+    scan path, middleware/problem.py) builds all ky planes at once and
+    solves them as one device-vmapped batch over (ky, rhs). Use those
+    for throughput; use this class for reference-compatible semantics.
     '''
 
     initMap = {
