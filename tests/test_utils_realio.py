@@ -342,3 +342,12 @@ def test_pallas_pcr_sweep_interpret_matches_reference():
                            interpret=True)
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 1e-6, rel
+
+    # the whole-batch (rb) production variant must agree too
+    from zephyr_tpu.ops.pallas_pcr import (pcr_sweep_pallas_rb,
+                                           pcr_rb_applicable)
+    assert pcr_rb_applicable(pcr.alphas, pcr.dinv, b)
+    out_rb = pcr_sweep_pallas_rb(pcr.alphas, pcr.gammas, pcr.dinv, b,
+                                 interpret=True)
+    rel = float(jnp.linalg.norm(out_rb - ref) / jnp.linalg.norm(ref))
+    assert rel < 1e-5, rel

@@ -36,7 +36,16 @@ except Exception:
 import jax.numpy as jnp
 
 from zephyr_tpu.solver.stratified import pcr_precompute, _pcr_sweep_bf16_jnp
-from zephyr_tpu.ops.pallas_pcr import pcr_sweep_pallas, pcr_pallas_applicable
+from zephyr_tpu.ops.pallas_pcr import (pcr_sweep_pallas,
+                                       pcr_pallas_applicable,
+                                       pcr_sweep_pallas_rb,
+                                       pcr_rb_applicable)
+
+
+def _sync(x):
+    # axon block_until_ready does not fence remoted computations; a
+    # scalar fetch does (device ops execute in order)
+    return float(np.asarray(jnp.sum(jnp.real(x).ravel()[:8])))
 
 
 def main():
@@ -44,9 +53,13 @@ def main():
     nx = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     R = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     rng = np.random.default_rng(0)
-    mk = lambda *s: jnp.asarray((rng.standard_normal(s)
-                                 + 1j * rng.standard_normal(s)
-                                 ).astype(np.complex64))
+
+    def mk(*s):
+        # complex built ON device from real uploads (the axon runtime
+        # cannot transfer complex arrays — core/realio.py)
+        return jax.jit(jax.lax.complex)(
+            jnp.asarray(rng.standard_normal(s).astype(np.float32)),
+            jnp.asarray(rng.standard_normal(s).astype(np.float32)))
     l, u = mk(nz, nx), mk(nz, nx)
     d = mk(nz, nx) + 4.0
     pcr = pcr_precompute(l, d, u, quantize=True)
@@ -55,26 +68,33 @@ def main():
 
     ref = jax.vmap(lambda x: _pcr_sweep_bf16_jnp(
         pcr.alphas, pcr.gammas, pcr.dinv, x))(b)
-    out = pcr_sweep_pallas(pcr.alphas, pcr.gammas, pcr.dinv, b)
-    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
-    print('parity rel=%.2e' % rel, flush=True)
-    assert rel < 1e-5, rel
 
-    nreps = 20
-    out.block_until_ready()
-    t0 = time.time()
-    for _ in range(nreps):
-        out = pcr_sweep_pallas(pcr.alphas, pcr.gammas, pcr.dinv, b)
-    out.block_until_ready()
-    dt = (time.time() - t0) / nreps
     nsteps = pcr.alphas.shape[0]
     traffic = (R * nz * nx * 8 * 2                 # field in + out (c64)
                + nsteps * 2 * 2 * nz * nx * 2      # bf16 a+g, re/im
                + 2 * nz * nx * 2)                  # bf16 dinv
-    print('ZT_PCR_ROLL_MAX=%s (%d,%d)xR%d nsteps=%d: %.2f ms/apply, '
-          'traffic %.1f MB -> %.1f GB/s'
-          % (os.environ.get('ZT_PCR_ROLL_MAX', '8'), nz, nx, R, nsteps,
-             dt * 1e3, traffic / 1e6, traffic / dt / 1e9), flush=True)
+
+    variants = [('grid', pcr_sweep_pallas)]
+    if pcr_rb_applicable(pcr.alphas, pcr.dinv, b):
+        variants.append(('rb', pcr_sweep_pallas_rb))
+
+    nreps = 20
+    for name, fn in variants:
+        out = fn(pcr.alphas, pcr.gammas, pcr.dinv, b)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        print('%s parity rel=%.2e' % (name, rel), flush=True)
+        assert rel < 1e-5, (name, rel)
+        _sync(out)
+        t0 = time.time()
+        for _ in range(nreps):
+            out = fn(pcr.alphas, pcr.gammas, pcr.dinv, b)
+        _sync(out)
+        dt = (time.time() - t0) / nreps
+        print('%-5s ZT_PCR_ROLL_MAX=%s (%d,%d)xR%d nsteps=%d: '
+              '%.2f ms/apply, traffic %.1f MB -> %.1f GB/s'
+              % (name, os.environ.get('ZT_PCR_ROLL_MAX', '8'), nz, nx,
+                 R, nsteps, dt * 1e3, traffic / 1e6,
+                 traffic / dt / 1e9), flush=True)
 
 
 if __name__ == '__main__':

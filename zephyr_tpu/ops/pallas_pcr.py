@@ -233,6 +233,196 @@ def _pick_tx_pcr(nx):
     return 128 if nx % 128 == 0 else nx
 
 
+def _pcr_kernel_rb(a_hbm, g_hbm, d_hbm, br_hbm, bi_hbm,
+                   xr_hbm, xi_hbm, a_all, g_all, d_tile,
+                   wr, wi, sem, osem,
+                   *, NSTEPS, NZ, TX, R):
+    '''
+    Whole-batch column program: ONE grid step per (nz, TX) column block
+    runs ALL RHS through ALL reduction levels. Every level's factor
+    window is DMA'd ONCE per program into a VMEM-resident
+    (nsteps, 2, nz, TX) stack — the two-slot streaming variant
+    re-fetched the same windows for every RHS (nsteps x 1 MB x R of
+    redundant HBM traffic per column) and its grid of nx/TX x R short
+    programs paid per-program dispatch/DMA-issue latency that dominated
+    the wall clock (measured ~200 us/program vs ~14 us of traffic).
+
+    VMEM layout (~14 MB at nz=1024, TX=128 — the 16 MB/core budget
+    leaves no room for staging buffers): the RHS streams through the
+    work ping-pong itself. The field loads into slot 0, levels bounce
+    0 -> 1 -> 0 ..., the final dinv product is written to the slot the
+    last level did NOT land in, and the output DMA from that slot
+    overlaps the next RHS's first levels (its first write to that slot
+    comes one level later, after an explicit wait).
+    '''
+
+    jx = pl.program_id(0)
+
+    cpa = pltpu.make_async_copy(
+        a_hbm.at[:, :, :, pl.ds(jx * TX, TX)], a_all, sem.at[0])
+    cpg = pltpu.make_async_copy(
+        g_hbm.at[:, :, :, pl.ds(jx * TX, TX)], g_all, sem.at[1])
+    cpd = pltpu.make_async_copy(
+        d_hbm.at[:, :, pl.ds(jx * TX, TX)], d_tile, sem.at[2])
+
+    def _bin_copy(rr):
+        cr = pltpu.make_async_copy(
+            br_hbm.at[rr, :, pl.ds(jx * TX, TX)], wr.at[0], sem.at[3])
+        ci = pltpu.make_async_copy(
+            bi_hbm.at[rr, :, pl.ds(jx * TX, TX)], wi.at[0], sem.at[4])
+        return cr, ci
+
+    # the final reduced field lands in slot NSTEPS % 2; the dinv
+    # product goes to the OTHER slot so its output DMA can overlap the
+    # next RHS's first level (which touches out_slot only at lvl <= 1,
+    # where the wait guard sits; requires NSTEPS >= 2 — see
+    # pcr_rb_applicable)
+    out_slot = 1 - NSTEPS % 2
+
+    def _out_copy(rr):
+        cr = pltpu.make_async_copy(
+            wr.at[out_slot], xr_hbm.at[rr, :, pl.ds(jx * TX, TX)],
+            osem.at[0])
+        ci = pltpu.make_async_copy(
+            wi.at[out_slot], xi_hbm.at[rr, :, pl.ds(jx * TX, TX)],
+            osem.at[1])
+        return cr, ci
+
+    cpa.start()
+    cpg.start()
+    cpd.start()
+    for cp in _bin_copy(0):
+        cp.start()
+    cpa.wait()
+    cpg.wait()
+    cpd.wait()
+
+    zidx = lax.broadcasted_iota(jnp.int32, (NZ, TX), 0)
+    last = NSTEPS % 2
+    # first level that writes out_slot (the out-DMA wait point)
+    first_out_write = 0 if out_slot == 1 else 1
+
+    def body(r, carry):
+        # r is traced (fori_loop keeps ONE copy of the unrolled level
+        # chain on the Mosaic stack instead of R)
+        for cp in _bin_copy(r):
+            cp.wait()
+
+        for lvl in range(NSTEPS):
+            s = 1 << lvl
+            src, dst = lvl % 2, 1 - lvl % 2
+            if dst == out_slot and lvl == first_out_write:
+                # about to overwrite the slot whose output DMA (r-1)
+                # may still be in flight
+                @pl.when(r > 0)
+                def _():
+                    for cp in _out_copy(r - 1):
+                        cp.wait()
+            src_r, src_i = wr[src], wi[src]
+            if s >= NZ:
+                wr[dst] = src_r
+                wi[dst] = src_i
+                continue
+            ar = a_all[lvl, 0].astype(jnp.float32)
+            ai = a_all[lvl, 1].astype(jnp.float32)
+            gr = g_all[lvl, 0].astype(jnp.float32)
+            gi = g_all[lvl, 1].astype(jnp.float32)
+            # whole-block sublane rotates + boundary masks at every
+            # level (see roll_level in _pcr_kernel)
+            mr = pltpu.roll(src_r, s, 0)
+            mi = pltpu.roll(src_i, s, 0)
+            pr = pltpu.roll(src_r, NZ - s, 0)
+            pi = pltpu.roll(src_i, NZ - s, 0)
+            mok = (zidx >= s).astype(jnp.float32)
+            pok = (zidx < NZ - s).astype(jnp.float32)
+            wr[dst] = (src_r + mok * (ar * mr - ai * mi)
+                       + pok * (gr * pr - gi * pi))
+            wi[dst] = (src_i + mok * (ar * mi + ai * mr)
+                       + pok * (gr * pi + gi * pr))
+
+        dr = d_tile[0].astype(jnp.float32)
+        di = d_tile[1].astype(jnp.float32)
+        br_f = wr[last]
+        bi_f = wi[last]
+        wr[out_slot] = br_f * dr - bi_f * di
+        wi[out_slot] = br_f * di + bi_f * dr
+        for cp in _out_copy(r):
+            cp.start()
+
+        @pl.when(r + 1 < R)
+        def _():
+            # next field loads into slot 0 over the consumed iterate
+            for cp in _bin_copy(r + 1):
+                cp.start()
+        return carry
+
+    lax.fori_loop(0, R, body, 0)
+    for cp in _out_copy(R - 1):
+        cp.wait()
+
+
+@partial(jax.jit, static_argnames=('interpret',))
+def pcr_sweep_pallas_rb(alphas, gammas, dinv, b, interpret=False):
+    '''
+    Whole-batch fused RHS cyclic-reduction sweep (see _pcr_kernel_rb):
+    same inputs/outputs and the same roll-path arithmetic as
+    ``pcr_sweep_pallas``, with grid (nx/TX,) instead of (nx/TX, R).
+    '''
+
+    R, nz, nx = b.shape
+    nsteps = alphas.shape[0]
+    TX = _pick_tx_pcr(nx)
+    assert nx % TX == 0 and TX % 128 == 0
+
+    br = jnp.real(b).astype(jnp.float32)
+    bi = jnp.imag(b).astype(jnp.float32)
+
+    kernel = partial(_pcr_kernel_rb, NSTEPS=nsteps, NZ=nz, TX=TX, R=R)
+
+    out_r, out_i = pl.pallas_call(
+        kernel,
+        grid=(nx // TX,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((R, nz, nx), jnp.float32),
+            jax.ShapeDtypeStruct((R, nz, nx), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nsteps, 2, nz, TX), jnp.bfloat16),   # a_all
+            pltpu.VMEM((nsteps, 2, nz, TX), jnp.bfloat16),   # g_all
+            pltpu.VMEM((2, nz, TX), jnp.bfloat16),           # dinv
+            pltpu.VMEM((2, nz, TX), jnp.float32),            # work re
+            pltpu.VMEM((2, nz, TX), jnp.float32),            # work im
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(alphas, gammas, dinv, br, bi)
+
+    return lax.complex(out_r, out_i)
+
+
+def pcr_rb_applicable(alphas, dinv, b):
+    'VMEM-budget check for the whole-batch sweep kernel.'
+
+    if b.ndim != 3 or alphas.dtype != jnp.bfloat16:
+        return False
+    R, nz, nx = b.shape
+    TX = _pick_tx_pcr(nx)
+    if nx % TX or TX % 128 or nz < 8 or nz % 8:
+        return False
+    nsteps = alphas.shape[0]
+    if nsteps < 2:
+        return False
+    col = nz * TX
+    mb = (2 * nsteps * 2 * col * 2        # a_all + g_all (bf16)
+          + 2 * col * 2                   # dinv (bf16)
+          + 2 * col * 4 * 2               # work ping-pong (f32 re+im)
+          ) / 1e6
+    return mb < 14.0 and b.dtype == jnp.complex64
+
+
 def pcr_pallas_applicable(alphas, dinv, b):
     '''
     Whether the fused sweep kernel supports these shapes/dtypes, with

@@ -309,25 +309,142 @@ def _batched_call(kernel, extra_inputs, extra_specs, planes, u, TZ, TX,
     return lax.complex(out_r, out_i)
 
 
+def _apply_kernel_rb(pr_ref, pi_ref, ur_hbm, ui_hbm, or_hbm, oi_hbm,
+                     ur_tile, ui_tile, out_tile, sem, osem,
+                     *, TZ, TX, R):
+    '''
+    Whole-batch tile program: grid (nz/TZ, nx/TX); each program loops
+    ALL R right-hand sides over its tile with the coefficient tile
+    resident. The (tile, RHS)-per-program variant paid a fixed
+    ~5-6 us of dispatch/DMA-issue latency per program across
+    R x more programs — measured to dominate every batched stencil
+    kernel at production sizes (matvec 8.7 ms vs ~2 ms of traffic at
+    2048^2 x 16). Fields stream through two-slot halo buffers
+    (prefetch r+1 behind r's compute); outputs stage through a
+    two-slot buffer so the write-back DMA overlaps the next RHS.
+    '''
+
+    iz = pl.program_id(0)
+    jx = pl.program_id(1)
+
+    def _in_copy(rr, s):
+        cr = pltpu.make_async_copy(
+            ur_hbm.at[rr, pl.ds(iz * TZ, TZ + 8),
+                      pl.ds(jx * TX, TX + 128)],
+            ur_tile.at[s], sem.at[s, 0])
+        ci = pltpu.make_async_copy(
+            ui_hbm.at[rr, pl.ds(iz * TZ, TZ + 8),
+                      pl.ds(jx * TX, TX + 128)],
+            ui_tile.at[s], sem.at[s, 1])
+        return cr, ci
+
+    def _out_copy(rr, s):
+        cr = pltpu.make_async_copy(
+            out_tile.at[s, 0],
+            or_hbm.at[rr, pl.ds(iz * TZ, TZ), pl.ds(jx * TX, TX)],
+            osem.at[s, 0])
+        ci = pltpu.make_async_copy(
+            out_tile.at[s, 1],
+            oi_hbm.at[rr, pl.ds(iz * TZ, TZ), pl.ds(jx * TX, TX)],
+            osem.at[s, 1])
+        return cr, ci
+
+    for cp in _in_copy(0, 0):
+        cp.start()
+
+    def body(r, carry):
+        # traced r: ONE copy of the compute on the Mosaic stack
+        slot = lax.rem(r, 2)
+
+        @pl.when(r + 1 < R)
+        def _():
+            for cp in _in_copy(r + 1, 1 - slot):
+                cp.start()
+        for cp in _in_copy(r, slot):
+            cp.wait()
+        acc_r, acc_i = _accumulate_offsets(pr_ref, pi_ref,
+                                           ur_tile.at[slot],
+                                           ui_tile.at[slot], TZ, TX)
+
+        @pl.when(r >= 2)
+        def _():
+            for cp in _out_copy(r - 2, slot):
+                cp.wait()
+        out_tile[slot, 0] = acc_r
+        out_tile[slot, 1] = acc_i
+        for cp in _out_copy(r, slot):
+            cp.start()
+        return carry
+
+    lax.fori_loop(0, R, body, 0)
+    for r in range(max(R - 2, 0), R):
+        for cp in _out_copy(r, r % 2):
+            cp.wait()
+
+
+def _batched_call_rb(kernel, planes, u, TZ, TX, n_extra_scratch,
+                     extra_inputs=(), interpret=False):
+    '''
+    Scaffolding for the whole-batch (rb) kernels: grid (nz/TZ, nx/TX),
+    planes as pipelined VMEM blocks, u and the outputs as padded re/im
+    pairs in ANY memory (manually DMA'd inside the kernel).
+    '''
+
+    R, nz, nx = u.shape
+
+    pr = jnp.real(planes).astype(jnp.float32)
+    pi = jnp.imag(planes).astype(jnp.float32)
+    up = jnp.pad(u, ((0, 0), (1, 7), (1, 127)))
+    ur = jnp.real(up).astype(jnp.float32)
+    ui = jnp.imag(up).astype(jnp.float32)
+
+    out_r, out_i = pl.pallas_call(
+        kernel,
+        grid=(nz // TZ, nx // TX),
+        in_specs=[
+            pl.BlockSpec((9, TZ, TX), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, TZ, TX), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * (2 + len(extra_inputs)),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((R, nz, nx), jnp.float32),
+            jax.ShapeDtypeStruct((R, nz, nx), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, 2, TZ, TX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ] + list(n_extra_scratch),
+        interpret=interpret,
+    )(pr, pi, *extra_inputs, ur, ui)
+
+    return lax.complex(out_r, out_i)
+
+
 @partial(jax.jit, static_argnames=('interpret',))
 def apply_stencil_pallas_batched(planes, u, interpret=False):
     """
     Pallas-fused batched stencil apply: planes (9, nz, nx) complex64,
-    u (R, nz, nx) complex64 -> (R, nz, nx). The batch axis is the
-    innermost grid dimension so consecutive steps reuse the resident
-    coefficient tile (Mosaic dedupes same-index block fetches).
-    Measured at 2048^2 x 16 RHS: 8.8 ms vs 18.6 ms for the XLA lowering
-    (which stops fusing the 9-offset apply at this size).
+    u (R, nz, nx) complex64 -> (R, nz, nx). Whole-batch tile programs
+    (see _apply_kernel_rb): each program holds its coefficient tile and
+    loops the full RHS batch with double-buffered halo-in and
+    write-back DMAs.
 
     No AD rules: use only where gradients are not traced through (the
     preconditioner and the non-differentiable chunked/info solvers).
     """
 
     nz, nx = u.shape[-2:]
+    R = u.shape[0]
     TZ = _pick_tz(nz, 128)
     TX = _pick_tx(nx)
-    kernel = partial(_apply_kernel_batched, TZ=TZ, TX=TX)
-    return _batched_call(kernel, (), (), planes, u, TZ, TX, interpret)
+    kernel = partial(_apply_kernel_rb, TZ=TZ, TX=TX, R=R)
+    return _batched_call_rb(kernel, planes, u, TZ, TX, (),
+                            interpret=interpret)
 
 
 def _jacobi_kernel_batched(pr_ref, pi_ref, dr_ref, di_ref, br_ref, bi_ref,
@@ -1130,12 +1247,145 @@ def _pas_kernel(pz_ref, pxT_ref, pr_hbm, pi_hbm, dr_hbm, di_hbm, mr_hbm,
     oi_ref[0] = u1i[1:1 + TZ, 1:1 + TX] + dr1 * ri1 + di1 * rr1
 
 
+def _pas_kernel_rb(pz_ref, pxT_ref, pr_hbm, pi_hbm, dr_hbm, di_hbm,
+                   mr_hbm, br_hbm, bi_hbm, ur_hbm, ui_hbm, er_hbm,
+                   ei_hbm, or_hbm, oi_hbm,
+                   p_tile, d_tile, m_tile, bu_tile, e_tile, out_tile,
+                   sem_c, sem_s, sem_o,
+                   *, TZ, TX, R):
+    '''
+    Whole-batch variant of ``_pas_kernel``: grid (nz/TZ, nx/TX); each
+    program fetches its coefficient windows once and loops ALL R
+    right-hand sides (see _apply_kernel_rb for why). b/u/ec stream
+    double-buffered; the output stages through a two-slot buffer with
+    async write-back.
+    '''
+
+    iz = pl.program_id(0)
+    jx = pl.program_id(1)
+    TZh, TXh = TZ // 2, TX // 2
+
+    cps = [
+        pltpu.make_async_copy(
+            pr_hbm.at[:, pl.ds(iz * TZ, TZ + 8),
+                      pl.ds(jx * TX, TX + 128)], p_tile.at[0],
+            sem_c.at[0]),
+        pltpu.make_async_copy(
+            pi_hbm.at[:, pl.ds(iz * TZ, TZ + 8),
+                      pl.ds(jx * TX, TX + 128)], p_tile.at[1],
+            sem_c.at[1]),
+        pltpu.make_async_copy(
+            dr_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            d_tile.at[0], sem_c.at[2]),
+        pltpu.make_async_copy(
+            di_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            d_tile.at[1], sem_c.at[3]),
+        pltpu.make_async_copy(
+            mr_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            m_tile, sem_c.at[4]),
+    ]
+    fine = (br_hbm, bi_hbm, ur_hbm, ui_hbm)
+    coarse = (er_hbm, ei_hbm)
+
+    def _in_copy(rr, s):
+        out = [pltpu.make_async_copy(
+            fine[a].at[rr, pl.ds(iz * TZ, TZ + 8),
+                       pl.ds(jx * TX, TX + 128)],
+            bu_tile.at[s, a], sem_s.at[s, a]) for a in range(4)]
+        out += [pltpu.make_async_copy(
+            coarse[a].at[rr, pl.ds(iz * TZh, TZh + 8),
+                         pl.ds(jx * TXh, TXh + 128)],
+            e_tile.at[s, a], sem_s.at[s, 4 + a]) for a in range(2)]
+        return out
+
+    def _out_copy(rr, s):
+        return [pltpu.make_async_copy(
+            out_tile.at[s, a],
+            (or_hbm, oi_hbm)[a].at[rr, pl.ds(iz * TZ, TZ),
+                                   pl.ds(jx * TX, TX)],
+            sem_o.at[s, a]) for a in range(2)]
+
+    for cp in cps:
+        cp.start()
+    for cp in _in_copy(0, 0):
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    pz = pz_ref[...]
+    pxT = pxT_ref[...]
+
+    def body(r, carry):
+        slot = lax.rem(r, 2)
+
+        @pl.when(r + 1 < R)
+        def _():
+            for cp in _in_copy(r + 1, 1 - slot):
+                cp.start()
+        for cp in _in_copy(r, slot):
+            cp.wait()
+
+        pr = p_tile[0]
+        pi = p_tile[1]
+        dr = d_tile[0]
+        di = d_tile[1]
+        br = bu_tile[slot, 0]
+        bi = bu_tile[slot, 1]
+        ur = bu_tile[slot, 2]
+        ui = bu_tile[slot, 3]
+
+        def _prolong_part(e_sub):
+            t = lax.dot(pz, e_sub, preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
+            return lax.dot(t, pxT, preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
+
+        SZ, SX = TZ + 2, TX + 2
+        p_re = _prolong_part(e_tile[slot, 0, :TZh + 2, :TXh + 2])
+        p_im = _prolong_part(e_tile[slot, 1, :TZh + 2, :TXh + 2])
+        m1 = m_tile[:SZ, :SX]
+        u1r = ur[:SZ, :SX] + m1 * p_re
+        u1i = ui[:SZ, :SX] + m1 * p_im
+
+        acc_r = jnp.zeros((TZ, TX), jnp.float32)
+        acc_i = jnp.zeros((TZ, TX), jnp.float32)
+        for k, (dz, dx) in enumerate(OFFSETS):
+            wr_ = u1r[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
+            wi_ = u1i[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
+            kr = pr[k, 1:1 + TZ, 1:1 + TX]
+            ki = pi[k, 1:1 + TZ, 1:1 + TX]
+            acc_r += kr * wr_ - ki * wi_
+            acc_i += kr * wi_ + ki * wr_
+        rr1 = br[1:1 + TZ, 1:1 + TX] - acc_r
+        ri1 = bi[1:1 + TZ, 1:1 + TX] - acc_i
+        dr1 = dr[1:1 + TZ, 1:1 + TX]
+        di1 = di[1:1 + TZ, 1:1 + TX]
+
+        @pl.when(r >= 2)
+        def _():
+            for cp in _out_copy(r - 2, slot):
+                cp.wait()
+        out_tile[slot, 0] = u1r[1:1 + TZ, 1:1 + TX] \
+            + dr1 * rr1 - di1 * ri1
+        out_tile[slot, 1] = u1i[1:1 + TZ, 1:1 + TX] \
+            + dr1 * ri1 + di1 * rr1
+        for cp in _out_copy(r, slot):
+            cp.start()
+        return carry
+
+    lax.fori_loop(0, R, body, 0)
+    for r in range(max(R - 2, 0), R):
+        for cp in _out_copy(r, r % 2):
+            cp.wait()
+
+
 @partial(jax.jit, static_argnames=('interpret',))
 def prolong_add_smooth_pallas_batched(planes, dinv_eff, mask, b, u, ec,
                                       interpret=False):
     '''
     Fused V-cycle upstroke for a (R, nz, nx) complex64 batch:
-    u' = one damped-Jacobi sweep of (u + mask * prolong(ec)) against b.
+    u' = one damped-Jacobi sweep of (u + mask * prolong(ec)) against b,
+    in whole-batch tile programs (see _pas_kernel_rb).
     ec is the (R, nz/2, nx/2) coarse correction. No AD rules.
     '''
 
@@ -1156,21 +1406,18 @@ def prolong_add_smooth_pallas_batched(planes, dinv_eff, mask, b, u, ec,
     ep = jnp.pad(ec, pad2)
 
     R = b.shape[0]
-    grid = (nz // TZ, nx // TX, R)
     Pz, PxT = _prolong_mats(TZ, TX)
-    kernel = partial(_pas_kernel, TZ=TZ, TX=TX)
+    kernel = partial(_pas_kernel_rb, TZ=TZ, TX=TX, R=R)
     out_r, out_i = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(nz // TZ, nx // TX),
         in_specs=[
-            pl.BlockSpec(Pz.shape, lambda i, j, r: (0, 0),
+            pl.BlockSpec(Pz.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(PxT.shape, lambda i, j, r: (0, 0),
+            pl.BlockSpec(PxT.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pl.ANY)] * 11,
-        out_specs=[
-            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
-                         memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_shape=[jax.ShapeDtypeStruct((R, nz, nx), jnp.float32)] * 2,
         scratch_shapes=[
             pltpu.VMEM((2, 9, TZ + 8, TX + 128), jnp.float32),
@@ -1178,8 +1425,10 @@ def prolong_add_smooth_pallas_batched(planes, dinv_eff, mask, b, u, ec,
             pltpu.VMEM((TZ + 8, TX + 128), jnp.float32),
             pltpu.VMEM((2, 4, TZ + 8, TX + 128), jnp.float32),
             pltpu.VMEM((2, 2, TZ // 2 + 8, TX // 2 + 128), jnp.float32),
+            pltpu.VMEM((2, 2, TZ, TX), jnp.float32),     # out staging
             pltpu.SemaphoreType.DMA((5,)),
             pltpu.SemaphoreType.DMA((2, 6)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
     )(jnp.asarray(Pz), jnp.asarray(PxT), pr, pi, dr, di, mr,
@@ -1364,14 +1613,167 @@ def _ps2rr_kernel(rz_ref, rxT_ref, pr_hbm, pi_hbm, dr_hbm, di_hbm, mr_hbm,
                          precision=lax.Precision.HIGHEST)
 
 
+def _ps2rr_kernel_rb(rz_ref, rxT_ref, pr_hbm, pi_hbm, dr_hbm, di_hbm,
+                     mr_hbm, br_hbm, bi_hbm,
+                     ur_hbm, ui_hbm, cr_hbm, ci_hbm,
+                     p_tile, d_tile, m_tile, bu_tile, uo_tile, co_tile,
+                     sem_p, sem_bu, sem_o,
+                     *, TZ, TX, R):
+    '''
+    Whole-batch variant of ``_ps2rr_kernel``: grid (nz/TZ, nx/TX); each
+    program fetches its coefficient windows once and loops ALL R
+    right-hand sides (same per-program-overhead cure as
+    ``_apply_kernel_rb`` — the (tile, RHS) grid paid a fixed ~5-6 us
+    of dispatch/DMA latency per program, which dominated the V-cycle's
+    fine-level cost at production sizes). b streams double-buffered;
+    u2 and rc outputs stage through two-slot buffers with async
+    write-back.
+    '''
+
+    iz = pl.program_id(0)
+    jx = pl.program_id(1)
+    TZc, TXc = TZ // 2, TX // 2
+
+    cps = [
+        pltpu.make_async_copy(
+            pr_hbm.at[:, pl.ds(iz * TZ, TZ + 8),
+                      pl.ds(jx * TX, TX + 128)], p_tile.at[0],
+            sem_p.at[0]),
+        pltpu.make_async_copy(
+            pi_hbm.at[:, pl.ds(iz * TZ, TZ + 8),
+                      pl.ds(jx * TX, TX + 128)], p_tile.at[1],
+            sem_p.at[1]),
+        pltpu.make_async_copy(
+            dr_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            d_tile.at[0], sem_p.at[2]),
+        pltpu.make_async_copy(
+            di_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            d_tile.at[1], sem_p.at[3]),
+        pltpu.make_async_copy(
+            mr_hbm.at[pl.ds(iz * TZ, TZ + 8), pl.ds(jx * TX, TX + 128)],
+            m_tile, sem_p.at[4]),
+    ]
+    hbm = (br_hbm, bi_hbm)
+
+    def _in_copy(rr, s):
+        return [pltpu.make_async_copy(
+            hbm[a].at[rr, pl.ds(iz * TZ, TZ + 8),
+                      pl.ds(jx * TX, TX + 128)],
+            bu_tile.at[s, a], sem_bu.at[s, a]) for a in range(2)]
+
+    def _out_copy(rr, s):
+        outs = [pltpu.make_async_copy(
+            uo_tile.at[s, a],
+            (ur_hbm, ui_hbm)[a].at[rr, pl.ds(iz * TZ, TZ),
+                                   pl.ds(jx * TX, TX)],
+            sem_o.at[s, a]) for a in range(2)]
+        outs += [pltpu.make_async_copy(
+            co_tile.at[s, a],
+            (cr_hbm, ci_hbm)[a].at[rr, pl.ds(iz * TZc, TZc),
+                                   pl.ds(jx * TXc, TXc)],
+            sem_o.at[s, 2 + a]) for a in range(2)]
+        return outs
+
+    for cp in cps:
+        cp.start()
+    for cp in _in_copy(0, 0):
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    rz = rz_ref[...]
+    rxT = rxT_ref[...]
+
+    def body(r, carry):
+        slot = lax.rem(r, 2)
+
+        @pl.when(r + 1 < R)
+        def _():
+            for cp in _in_copy(r + 1, 1 - slot):
+                cp.start()
+        for cp in _in_copy(r, slot):
+            cp.wait()
+
+        pr = p_tile[0]
+        pi = p_tile[1]
+        dr = d_tile[0]
+        di = d_tile[1]
+        br = bu_tile[slot, 0]
+        bi = bu_tile[slot, 1]
+
+        # sweep 1 from zero on the halo-3 block (TZ+6, TX+6)
+        SZ1, SX1 = TZ + 6, TX + 6
+        u1r = (dr[:SZ1, :SX1] * br[:SZ1, :SX1]
+               - di[:SZ1, :SX1] * bi[:SZ1, :SX1])
+        u1i = (dr[:SZ1, :SX1] * bi[:SZ1, :SX1]
+               + di[:SZ1, :SX1] * br[:SZ1, :SX1])
+
+        # sweep 2 on the halo-2 block (TZ+4, TX+4)
+        SZ2, SX2 = TZ + 4, TX + 4
+        a1_r = jnp.zeros((SZ2, SX2), jnp.float32)
+        a1_i = jnp.zeros((SZ2, SX2), jnp.float32)
+        for k, (dz, dx) in enumerate(OFFSETS):
+            wr_ = u1r[1 + dz:1 + dz + SZ2, 1 + dx:1 + dx + SX2]
+            wi_ = u1i[1 + dz:1 + dz + SZ2, 1 + dx:1 + dx + SX2]
+            kr = pr[k, 1:1 + SZ2, 1:1 + SX2]
+            ki = pi[k, 1:1 + SZ2, 1:1 + SX2]
+            a1_r += kr * wr_ - ki * wi_
+            a1_i += kr * wi_ + ki * wr_
+        rr1 = br[1:1 + SZ2, 1:1 + SX2] - a1_r
+        ri1 = bi[1:1 + SZ2, 1:1 + SX2] - a1_i
+        u2r = u1r[1:1 + SZ2, 1:1 + SX2] \
+            + dr[1:1 + SZ2, 1:1 + SX2] * rr1 \
+            - di[1:1 + SZ2, 1:1 + SX2] * ri1
+        u2i = u1i[1:1 + SZ2, 1:1 + SX2] \
+            + dr[1:1 + SZ2, 1:1 + SX2] * ri1 \
+            + di[1:1 + SZ2, 1:1 + SX2] * rr1
+
+        # masked residual on the halo-1 block (TZ+2, TX+2)
+        SZ3, SX3 = TZ + 2, TX + 2
+        a2_r = jnp.zeros((SZ3, SX3), jnp.float32)
+        a2_i = jnp.zeros((SZ3, SX3), jnp.float32)
+        for k, (dz, dx) in enumerate(OFFSETS):
+            wr_ = u2r[1 + dz:1 + dz + SZ3, 1 + dx:1 + dx + SX3]
+            wi_ = u2i[1 + dz:1 + dz + SZ3, 1 + dx:1 + dx + SX3]
+            kr = pr[k, 2:2 + SZ3, 2:2 + SX3]
+            ki = pi[k, 2:2 + SZ3, 2:2 + SX3]
+            a2_r += kr * wr_ - ki * wi_
+            a2_i += kr * wi_ + ki * wr_
+        m3 = m_tile[2:2 + SZ3, 2:2 + SX3]
+        resm_r = m3 * (br[2:2 + SZ3, 2:2 + SX3] - a2_r)
+        resm_i = m3 * (bi[2:2 + SZ3, 2:2 + SX3] - a2_i)
+
+        @pl.when(r >= 2)
+        def _():
+            for cp in _out_copy(r - 2, slot):
+                cp.wait()
+        uo_tile[slot, 0] = u2r[2:2 + TZ, 2:2 + TX]
+        uo_tile[slot, 1] = u2i[2:2 + TZ, 2:2 + TX]
+        for q, resm in enumerate((resm_r, resm_i)):
+            t = lax.dot(resm, rxT, preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
+            co_tile[slot, q] = lax.dot(
+                rz, t, preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST)
+        for cp in _out_copy(r, slot):
+            cp.start()
+        return carry
+
+    lax.fori_loop(0, R, body, 0)
+    for r in range(max(R - 2, 0), R):
+        for cp in _out_copy(r, r % 2):
+            cp.wait()
+
+
 @partial(jax.jit, static_argnames=('interpret',))
 def presmooth2_restrict_pallas_batched(planes, dinv_eff, mask, b,
                                        interpret=False):
     '''
     The V-cycle's complete fine-level downstroke (two from-zero sweeps,
     masked residual, full-weighting restriction) for a (R, nz, nx)
-    complex64 batch, in one kernel. Returns (u2 (R, nz, nx),
-    rc (R, nz/2, nx/2)). No AD rules.
+    complex64 batch, in one kernel — whole-batch tile programs (see
+    _ps2rr_kernel_rb). Returns (u2 (R, nz, nx), rc (R, nz/2, nx/2)).
+    No AD rules.
     '''
 
     nz, nx = b.shape[-2:]
@@ -1392,27 +1794,17 @@ def presmooth2_restrict_pallas_batched(planes, dinv_eff, mask, b,
     Rz, RxT = _restrict_resm_mats(TZ, TX)
 
     R = b.shape[0]
-    grid = (nz // TZ, nx // TX, R)
-    kernel = partial(_ps2rr_kernel, TZ=TZ, TX=TX)
+    kernel = partial(_ps2rr_kernel_rb, TZ=TZ, TX=TX, R=R)
     u2r, u2i, rcr, rci = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(nz // TZ, nx // TX),
         in_specs=[
-            pl.BlockSpec(Rz.shape, lambda i, j, r: (0, 0),
+            pl.BlockSpec(Rz.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(RxT.shape, lambda i, j, r: (0, 0),
+            pl.BlockSpec(RxT.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pl.ANY)] * 7,
-        out_specs=[
-            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TZc, TXc), lambda i, j, r: (r, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TZc, TXc), lambda i, j, r: (r, i, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((R, nz, nx), jnp.float32),
             jax.ShapeDtypeStruct((R, nz, nx), jnp.float32),
@@ -1424,8 +1816,11 @@ def presmooth2_restrict_pallas_batched(planes, dinv_eff, mask, b,
             pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
             pltpu.VMEM((TZ + 8, TX + 128), jnp.float32),
             pltpu.VMEM((2, 2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, 2, TZ, TX), jnp.float32),     # u2 staging
+            pltpu.VMEM((2, 2, TZc, TXc), jnp.float32),   # rc staging
             pltpu.SemaphoreType.DMA((5,)),
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
         interpret=interpret,
     )(jnp.asarray(Rz), jnp.asarray(RxT), pr, pi, dr, di, mr, br, bi)

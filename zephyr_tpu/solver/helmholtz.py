@@ -142,6 +142,13 @@ class SolverConfig(NamedTuple):
                               # Marmousi), 'sym', or 'dst'
                               # (zero-Dirichlet panel solves via odd
                               # extension, 2x panel cost)
+    strat_dft: str = 'auto'   # x-transform implementation of the
+                              # stratified interior solve: 'auto'
+                              # (default: DFT-matrix matmuls on the MXU
+                              # for solve widths <= 2048 — XLA's TPU
+                              # FFT is latency-bound at production
+                              # widths), 'fft' (always jnp.fft), 'dft'
+                              # (always matmul)
     fft_mode: str = 'strat'   # 'strat' (default) = depth-stratified
                               # interior solve (per-row mean
                               # coefficients, x-FFT + tridiagonal-in-z
@@ -405,17 +412,27 @@ def prepare_operator(planes, precond_planes=None, config=SolverConfig(),
         if config.fft_mode == 'strat' and planes.shape[0] == 1:
             from .stratified import (stratified_coeffs,
                                      stratified_coeffs_panels,
-                                     pcr_precompute)
+                                     pcr_precompute, panel_layout)
             if config.strat_panels > 1:
                 l, d, u = stratified_coeffs_panels(
                     src_true, src_pp, config.shift, config.fft_shift,
                     config.strat_panels, config.strat_overlap,
                     dst=config.strat_taper == 'dst')
+                _, w_solve = panel_layout(src_true.shape[-1],
+                                          config.strat_panels,
+                                          config.strat_overlap)
+                if config.strat_taper == 'dst':
+                    w_solve *= 2
             else:
                 l, d, u = stratified_coeffs(src_true, src_pp,
                                             config.shift,
                                             config.fft_shift)
-            strat = pcr_precompute(l, d, u)
+                w_solve = src_true.shape[-1]
+            use_dft = (config.strat_dft == 'dft'
+                       or (config.strat_dft == 'auto'
+                           and w_solve <= 2048))
+            strat = pcr_precompute(l, d, u,
+                                   dft=w_solve if use_dft else None)
         elif config.fft_mode == 'strat' and planes.shape[0] == 2:
             from .stratified import (stratified_coeffs_block,
                                      pcr_precompute_block)

@@ -62,6 +62,14 @@ class StratPCR(NamedTuple):
                   # diagonal, or (2, nz, nx) bf16
     ldu: Any      # (3, nz, nx) original coefficients (transpose path;
                   # always full precision)
+    dft: Any = None   # optional (F, Fi) DFT matrix pair (each (w, w)
+                      # complex, symmetric): when present the x
+                      # transforms run as MXU matmuls instead of
+                      # jnp.fft — XLA's TPU FFT is latency-bound at the
+                      # production widths (measured 8.7 ms per
+                      # fft+ifft of (16, 1024, 1024) c64 = 62 GB/s on
+                      # v5e, vs ~69 GFLOP of DFT matmul work that the
+                      # MXU turns over in ~2 ms)
 
 
 def _pack_bf16(x):
@@ -160,14 +168,36 @@ def tridiag_pcr_solve(l, d, u, b, delta=1e-6):
     return _pcr_sweep_rhs(*_pcr_levels(l, d, u, delta), b)
 
 
-def pcr_precompute(l, d, u, delta=1e-6, quantize=None):
+def dft_mats(w, dtype=jnp.complex64):
+    '''
+    Symmetric DFT matrix pair (F, Fi) of width ``w``: F[x, k] =
+    exp(-2 pi i x k / w), Fi = conj(F) / w. ``r @ F`` along the last
+    axis equals ``jnp.fft.fft(r, axis=-1)`` (and Fi the inverse); both
+    matrices are symmetric, so the algebraic-transpose path reuses them
+    unchanged.
+    '''
+
+    x = jnp.arange(w)
+    phase = (-2j * jnp.pi / w) * (x[:, None] * x[None, :])
+    F = jnp.exp(phase.astype(dtype))
+    return F, jnp.conj(F) / w
+
+
+def _dft_apply(r, M):
+    'Contraction of the last axis with a DFT matrix, on the MXU.'
+
+    return jnp.matmul(r, M, precision=lax.Precision.HIGHEST)
+
+
+def pcr_precompute(l, d, u, delta=1e-6, quantize=None, dft=None):
     '''
     Run the RHS-independent part of the cyclic reduction once, returning
     a StratPCR whose per-level (alpha, gamma) arrays drive the fast
     ``pcr_apply`` sweep. Identical arithmetic (and clamping) to
     ``tridiag_pcr_solve`` — both run ``_pcr_levels``. ``quantize``
     (default: on for complex64 operators) stores the factors as bf16
-    re/im pairs — see StratPCR.
+    re/im pairs — see StratPCR. ``dft`` (width int or True) attaches
+    the DFT matrix pair so the apply's x transforms run on the MXU.
     '''
 
     ldu = jnp.stack([l, d, u], axis=0)
@@ -181,7 +211,11 @@ def pcr_precompute(l, d, u, delta=1e-6, quantize=None):
         alphas = jnp.swapaxes(_pack_bf16(alphas), 0, 1)
         gammas = jnp.swapaxes(_pack_bf16(gammas), 0, 1)
         dinv = _pack_bf16(dinv)
-    return StratPCR(alphas, gammas, dinv, ldu)
+    mats = None
+    if dft:
+        w = d.shape[-1] if dft is True else int(dft)
+        mats = dft_mats(w, d.dtype)
+    return StratPCR(alphas, gammas, dinv, ldu, mats)
 
 
 def _pcr_sweep_bf16_jnp(alphas, gammas, dinv, b):
@@ -211,13 +245,26 @@ def _pcr_sweep_bf16(alphas, gammas, dinv, b):
 
 @_pcr_sweep_bf16.def_vmap
 def _pcr_sweep_bf16_vmap(axis_size, in_batched, alphas, gammas, dinv, b):
+    import os as _os
     from ..ops.stencil import _pallas_wanted
     ab, gb, db, bb = in_batched
     if bb and not (ab or gb or db) and _pallas_wanted():
-        from ..ops.pallas_pcr import (pcr_sweep_pallas,
-                                      pcr_pallas_applicable)
-        if pcr_pallas_applicable(alphas, dinv, b):
-            return pcr_sweep_pallas(alphas, gammas, dinv, b), True
+        # 'rb' (default): whole-batch column programs with the factor
+        # stack VMEM-resident — one program per column block instead of
+        # one per (column, RHS), removing both the per-program dispatch
+        # latency and the R-fold redundant factor re-fetch.
+        # 'grid' keeps the per-RHS-program kernel for experiments.
+        which = _os.environ.get('ZT_PCR_KERNEL', 'rb')
+        if which == 'rb':
+            from ..ops.pallas_pcr import (pcr_sweep_pallas_rb,
+                                          pcr_rb_applicable)
+            if pcr_rb_applicable(alphas, dinv, b):
+                return pcr_sweep_pallas_rb(alphas, gammas, dinv, b), True
+        if which in ('rb', 'grid'):
+            from ..ops.pallas_pcr import (pcr_sweep_pallas,
+                                          pcr_pallas_applicable)
+            if pcr_pallas_applicable(alphas, dinv, b):
+                return pcr_sweep_pallas(alphas, gammas, dinv, b), True
     fn = jax.vmap(_pcr_sweep_bf16_jnp,
                   in_axes=(0 if ab else None, 0 if gb else None,
                            0 if db else None, 0 if bb else None))
@@ -670,12 +717,19 @@ def _panel_scatter(xp, starts, W, nx):
     return out
 
 
-def _panel_fft(rp, P, W, axis_inverse=False):
-    'Per-panel FFT along x: (..., nz, P*W) blockwise of width W.'
+def _panel_fft(rp, P, W, axis_inverse=False, dft=None):
+    '''
+    Per-panel FFT along x: (..., nz, P*W) blockwise of width W. With
+    ``dft`` (the (F, Fi) pair of width W) the transform runs as an MXU
+    matmul instead of jnp.fft (see StratPCR.dft).
+    '''
     shp = rp.shape[:-1] + (P, W)
     rps = rp.reshape(shp)
-    out = jnp.fft.ifft(rps, axis=-1) if axis_inverse \
-        else jnp.fft.fft(rps, axis=-1)
+    if dft is not None:
+        out = _dft_apply(rps, dft[1] if axis_inverse else dft[0])
+    else:
+        out = jnp.fft.ifft(rps, axis=-1) if axis_inverse \
+            else jnp.fft.fft(rps, axis=-1)
     return out.reshape(rp.shape)
 
 
@@ -748,10 +802,15 @@ def stratified_apply_panels(strat, r, npanels, overlap, transpose=False,
     dst = taper == 'dst'
     Wx = 2 * W if dst else W
 
+    dftm = strat.dft if isinstance(strat, StratPCR) else None
+    if dftm is not None and dftm[0].shape[-1] != (2 * W if taper == 'dst'
+                                                  else W):
+        dftm = None   # stored width does not match this panel layout
+
     def _solve(rp, use_pre):
         if dst:
             rp = _odd_extend(rp, P, W)
-        rhat = _panel_fft(rp, P, Wx, axis_inverse=transpose)
+        rhat = _panel_fft(rp, P, Wx, axis_inverse=transpose, dft=dftm)
         if use_pre:
             xhat = pcr_apply(strat, rhat)
         else:
@@ -760,7 +819,8 @@ def stratified_apply_panels(strat, r, npanels, overlap, transpose=False,
                 if transpose else
                 (strat.ldu if isinstance(strat, StratPCR) else strat))
             xhat = tridiag_pcr_solve(l, d, u, rhat, delta=delta)
-        xp = _panel_fft(xhat, P, Wx, axis_inverse=not transpose)
+        xp = _panel_fft(xhat, P, Wx, axis_inverse=not transpose,
+                        dft=dftm)
         if dst:
             xp = _odd_restrict(xp, P, W)
         return xp
@@ -798,16 +858,30 @@ def stratified_apply(strat, r, transpose=False, delta=1e-6):
     '''
 
     pre = isinstance(strat, StratPCR)
+    dftm = strat.dft if pre else None
+    if dftm is not None and dftm[0].shape[-1] != r.shape[-1]:
+        dftm = None
+
+    def _fwd(v):
+        return (_dft_apply(v, dftm[0]) if dftm is not None
+                else jnp.fft.fft(v, axis=-1))
+
+    def _inv(v):
+        return (_dft_apply(v, dftm[1]) if dftm is not None
+                else jnp.fft.ifft(v, axis=-1))
+
     if transpose:
         ldu = strat.ldu if pre else strat
         l, d, u = transpose_strat(tuple(ldu))
-        rhat = jnp.fft.ifft(r, axis=-1)
+        # the DFT matrices are symmetric, so the algebraic transpose
+        # P^T = F^T T^{-T} F^{-T} reuses (F, Fi) unchanged
+        rhat = _inv(r)
         xhat = tridiag_pcr_solve(l, d, u, rhat, delta=delta)
-        return jnp.fft.fft(xhat, axis=-1)
-    rhat = jnp.fft.fft(r, axis=-1)
+        return _fwd(xhat)
+    rhat = _fwd(r)
     if pre:
         xhat = pcr_apply(strat, rhat)
     else:
         l, d, u = strat
         xhat = tridiag_pcr_solve(l, d, u, rhat, delta=delta)
-    return jnp.fft.ifft(xhat, axis=-1)
+    return _inv(xhat)
