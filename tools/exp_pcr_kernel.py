@@ -42,10 +42,24 @@ from zephyr_tpu.ops.pallas_pcr import (pcr_sweep_pallas,
                                        pcr_rb_applicable)
 
 
+@jax.jit
+def _relerr(a, b):
+    d = a - b
+    return jnp.sqrt(jnp.real(jnp.vdot(d, d))
+                    / jnp.maximum(jnp.real(jnp.vdot(b, b)), 1e-30))
+
+
+@jax.jit
+def _probe(x):
+    return jnp.sum(jnp.abs(jnp.real(x).ravel()[:8]))
+
+
 def _sync(x):
     # axon block_until_ready does not fence remoted computations; a
-    # scalar fetch does (device ops execute in order)
-    return float(np.asarray(jnp.sum(jnp.real(x).ravel()[:8])))
+    # real-scalar fetch does (device ops execute in order). Jitted:
+    # eager op-by-op chains on complex arrays hit UNIMPLEMENTED paths
+    # on this runtime.
+    return float(np.asarray(_probe(x)))
 
 
 def main():
@@ -61,13 +75,16 @@ def main():
             jnp.asarray(rng.standard_normal(s).astype(np.float32)),
             jnp.asarray(rng.standard_normal(s).astype(np.float32)))
     l, u = mk(nz, nx), mk(nz, nx)
-    d = mk(nz, nx) + 4.0
-    pcr = pcr_precompute(l, d, u, quantize=True)
+    # every step of the setup runs under jit: eager op-by-op chains on
+    # complex arrays fail with UNIMPLEMENTED on the axon runtime
+    d = jax.jit(lambda x: x + 4.0)(mk(nz, nx))
+    pcr = jax.jit(lambda l, d, u: pcr_precompute(l, d, u,
+                                                 quantize=True))(l, d, u)
     b = mk(R, nz, nx)
     assert pcr_pallas_applicable(pcr.alphas, pcr.dinv, b)
 
-    ref = jax.vmap(lambda x: _pcr_sweep_bf16_jnp(
-        pcr.alphas, pcr.gammas, pcr.dinv, x))(b)
+    ref = jax.jit(jax.vmap(lambda x: _pcr_sweep_bf16_jnp(
+        pcr.alphas, pcr.gammas, pcr.dinv, x)))(b)
 
     nsteps = pcr.alphas.shape[0]
     traffic = (R * nz * nx * 8 * 2                 # field in + out (c64)
@@ -81,7 +98,7 @@ def main():
     nreps = 20
     for name, fn in variants:
         out = fn(pcr.alphas, pcr.gammas, pcr.dinv, b)
-        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        rel = float(np.asarray(_relerr(out, ref)))
         print('%s parity rel=%.2e' % (name, rel), flush=True)
         assert rel < 1e-5, (name, rel)
         _sync(out)

@@ -125,6 +125,20 @@ def main():
     t_mv = timeit('matvec x%d' % nsrc, mv_rio, op, b,
                   traffic=LOOPN * nsrc * (9 * FB / nsrc + 2 * FB))
 
+    # 1a. the repack glue alone: every Pallas kernel call pads the
+    # complex field and splits it to f32 re/im pairs on the way in and
+    # recombines on the way out — XLA passes with full-field traffic
+    # that the kernel-centric view never sees
+    def glue_one(op_in, v):
+        up = jnp.pad(v, ((0, 0), (0, 0), (1, 7), (1, 127)))
+        ur = jnp.real(up).astype(jnp.float32)
+        ui = jnp.imag(up).astype(jnp.float32)
+        return _lax.complex(ur, ui)[..., 1:-7, 1:-127] + 0.25 * v
+
+    timeit('repack glue (pad+split+join)',
+           realio_jit(_loop(glue_one)), op, b,
+           traffic=LOOPN * nsrc * 6 * FB)
+
     # 1b. the stratified PCR interior solve alone (x-FFT + precomputed
     # cyclic-reduction sweep + inverse FFT at the half grid), plus its
     # separated sub-stages (FFT only / PCR sweep only)

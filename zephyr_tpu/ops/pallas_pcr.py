@@ -397,6 +397,11 @@ def pcr_sweep_pallas_rb(alphas, gammas, dinv, b, interpret=False):
             pltpu.SemaphoreType.DMA((5,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # the resident factor stack + work buffers + the roll
+        # temporaries exceed the 16 MB default scoped limit by <1 MB at
+        # nz=1024; the physical VMEM budget accommodates the raise
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(alphas, gammas, dinv, br, bi)
 

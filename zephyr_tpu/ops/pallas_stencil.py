@@ -1010,11 +1010,86 @@ def _apply_block_kernel_batched(pr_ref, pi_ref,
         outs[i][1][0] = acc_i
 
 
+def _apply_block_kernel_rb(pr_ref, pi_ref,
+                           u0r_hbm, u0i_hbm, u1r_hbm, u1i_hbm,
+                           o0r_hbm, o0i_hbm, o1r_hbm, o1i_hbm,
+                           u_tile, out_tile, sem, osem,
+                           *, TZ, TX, R):
+    '''
+    Whole-batch variant of ``_apply_block_kernel_batched``: grid
+    (nz/TZ, nx/TX); each program keeps its (2, 2, 9) coefficient tiles
+    resident and loops ALL R right-hand sides (see _apply_kernel_rb).
+    The four field components stream double-buffered; the four outputs
+    stage through a two-slot buffer with async write-back.
+    '''
+
+    iz = pl.program_id(0)
+    jx = pl.program_id(1)
+    fields = (u0r_hbm, u0i_hbm, u1r_hbm, u1i_hbm)
+    outs_hbm = (o0r_hbm, o0i_hbm, o1r_hbm, o1i_hbm)
+
+    def _in_copy(rr, s):
+        return [pltpu.make_async_copy(
+            fields[a].at[rr, pl.ds(iz * TZ, TZ + 8),
+                         pl.ds(jx * TX, TX + 128)],
+            u_tile.at[s, a], sem.at[s, a]) for a in range(4)]
+
+    def _out_copy(rr, s):
+        return [pltpu.make_async_copy(
+            out_tile.at[s, a],
+            outs_hbm[a].at[rr, pl.ds(iz * TZ, TZ), pl.ds(jx * TX, TX)],
+            osem.at[s, a]) for a in range(4)]
+
+    for cp in _in_copy(0, 0):
+        cp.start()
+
+    def body(r, carry):
+        slot = lax.rem(r, 2)
+
+        @pl.when(r + 1 < R)
+        def _():
+            for cp in _in_copy(r + 1, 1 - slot):
+                cp.start()
+        for cp in _in_copy(r, slot):
+            cp.wait()
+
+        comps = ((u_tile.at[slot, 0], u_tile.at[slot, 1]),
+                 (u_tile.at[slot, 2], u_tile.at[slot, 3]))
+
+        @pl.when(r >= 2)
+        def _():
+            for cp in _out_copy(r - 2, slot):
+                cp.wait()
+        for i in range(2):
+            acc_r = jnp.zeros((TZ, TX), jnp.float32)
+            acc_i = jnp.zeros((TZ, TX), jnp.float32)
+            for j in range(2):
+                urt, uit = comps[j]
+                for k, (dz, dx) in enumerate(OFFSETS):
+                    ur = urt[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
+                    ui = uit[1 + dz:1 + dz + TZ, 1 + dx:1 + dx + TX]
+                    prk = pr_ref[i, j, k]
+                    pik = pi_ref[i, j, k]
+                    acc_r += prk * ur - pik * ui
+                    acc_i += prk * ui + pik * ur
+            out_tile[slot, 2 * i] = acc_r
+            out_tile[slot, 2 * i + 1] = acc_i
+        for cp in _out_copy(r, slot):
+            cp.start()
+        return carry
+
+    lax.fori_loop(0, R, body, 0)
+    for r in range(max(R - 2, 0), R):
+        for cp in _out_copy(r, r % 2):
+            cp.wait()
+
+
 @partial(jax.jit, static_argnames=('interpret',))
 def apply_block_stencil_pallas_batched(planes, u, interpret=False):
     '''
     Fused batched 2x2 block-stencil apply: planes (2, 2, 9, nz, nx)
-    complex64, u (R, 2, nz, nx) complex64 -> (R, 2, nz, nx).
+    complex64, u (R, 2, nz, nx) complex64 -> (R, 2, nz, nx), in
+    whole-batch tile programs (see _apply_block_kernel_rb).
     No AD rules: preconditioner internals and the non-differentiable
     chunked/info solvers only.
     '''
@@ -1033,26 +1108,22 @@ def apply_block_stencil_pallas_batched(planes, u, interpret=False):
         comps.append(jnp.real(up[:, j]).astype(jnp.float32))
         comps.append(jnp.imag(up[:, j]).astype(jnp.float32))
 
-    grid = (nz // TZ, nx // TX, R)
-    kernel = partial(_apply_block_kernel_batched, TZ=TZ, TX=TX)
+    kernel = partial(_apply_block_kernel_rb, TZ=TZ, TX=TX, R=R)
     o0r, o0i, o1r, o1i = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(nz // TZ, nx // TX),
         in_specs=[
-            pl.BlockSpec((2, 2, 9, TZ, TX), lambda i, j, r: (0, 0, 0, i, j),
+            pl.BlockSpec((2, 2, 9, TZ, TX), lambda i, j: (0, 0, 0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 2, 9, TZ, TX), lambda i, j, r: (0, 0, 0, i, j),
+            pl.BlockSpec((2, 2, 9, TZ, TX), lambda i, j: (0, 0, 0, i, j),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=[
-            pl.BlockSpec((1, TZ, TX), lambda i, j, r: (r, i, j),
-                         memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_shape=[jax.ShapeDtypeStruct((R, nz, nx), jnp.float32)] * 4,
         scratch_shapes=[
-            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
-            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
-            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
-            pltpu.VMEM((2, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, 4, TZ + 8, TX + 128), jnp.float32),
+            pltpu.VMEM((2, 4, TZ, TX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
         interpret=interpret,
@@ -1618,7 +1689,7 @@ def _ps2rr_kernel_rb(rz_ref, rxT_ref, pr_hbm, pi_hbm, dr_hbm, di_hbm,
                      ur_hbm, ui_hbm, cr_hbm, ci_hbm,
                      p_tile, d_tile, m_tile, bu_tile, uo_tile, co_tile,
                      sem_p, sem_bu, sem_o,
-                     *, TZ, TX, R):
+                     *, TZ, TX, R, NSWEEPS=2):
     '''
     Whole-batch variant of ``_ps2rr_kernel``: grid (nz/TZ, nx/TX); each
     program fetches its coefficient windows once and loops ALL R
@@ -1708,25 +1779,30 @@ def _ps2rr_kernel_rb(rz_ref, rxT_ref, pr_hbm, pi_hbm, dr_hbm, di_hbm,
         u1i = (dr[:SZ1, :SX1] * bi[:SZ1, :SX1]
                + di[:SZ1, :SX1] * br[:SZ1, :SX1])
 
-        # sweep 2 on the halo-2 block (TZ+4, TX+4)
+        # sweep 2 on the halo-2 block (TZ+4, TX+4); with NSWEEPS=1 the
+        # halo-2 restriction of u1 feeds the residual directly
         SZ2, SX2 = TZ + 4, TX + 4
-        a1_r = jnp.zeros((SZ2, SX2), jnp.float32)
-        a1_i = jnp.zeros((SZ2, SX2), jnp.float32)
-        for k, (dz, dx) in enumerate(OFFSETS):
-            wr_ = u1r[1 + dz:1 + dz + SZ2, 1 + dx:1 + dx + SX2]
-            wi_ = u1i[1 + dz:1 + dz + SZ2, 1 + dx:1 + dx + SX2]
-            kr = pr[k, 1:1 + SZ2, 1:1 + SX2]
-            ki = pi[k, 1:1 + SZ2, 1:1 + SX2]
-            a1_r += kr * wr_ - ki * wi_
-            a1_i += kr * wi_ + ki * wr_
-        rr1 = br[1:1 + SZ2, 1:1 + SX2] - a1_r
-        ri1 = bi[1:1 + SZ2, 1:1 + SX2] - a1_i
-        u2r = u1r[1:1 + SZ2, 1:1 + SX2] \
-            + dr[1:1 + SZ2, 1:1 + SX2] * rr1 \
-            - di[1:1 + SZ2, 1:1 + SX2] * ri1
-        u2i = u1i[1:1 + SZ2, 1:1 + SX2] \
-            + dr[1:1 + SZ2, 1:1 + SX2] * ri1 \
-            + di[1:1 + SZ2, 1:1 + SX2] * rr1
+        if NSWEEPS >= 2:
+            a1_r = jnp.zeros((SZ2, SX2), jnp.float32)
+            a1_i = jnp.zeros((SZ2, SX2), jnp.float32)
+            for k, (dz, dx) in enumerate(OFFSETS):
+                wr_ = u1r[1 + dz:1 + dz + SZ2, 1 + dx:1 + dx + SX2]
+                wi_ = u1i[1 + dz:1 + dz + SZ2, 1 + dx:1 + dx + SX2]
+                kr = pr[k, 1:1 + SZ2, 1:1 + SX2]
+                ki = pi[k, 1:1 + SZ2, 1:1 + SX2]
+                a1_r += kr * wr_ - ki * wi_
+                a1_i += kr * wi_ + ki * wr_
+            rr1 = br[1:1 + SZ2, 1:1 + SX2] - a1_r
+            ri1 = bi[1:1 + SZ2, 1:1 + SX2] - a1_i
+            u2r = u1r[1:1 + SZ2, 1:1 + SX2] \
+                + dr[1:1 + SZ2, 1:1 + SX2] * rr1 \
+                - di[1:1 + SZ2, 1:1 + SX2] * ri1
+            u2i = u1i[1:1 + SZ2, 1:1 + SX2] \
+                + dr[1:1 + SZ2, 1:1 + SX2] * ri1 \
+                + di[1:1 + SZ2, 1:1 + SX2] * rr1
+        else:
+            u2r = u1r[1:1 + SZ2, 1:1 + SX2]
+            u2i = u1i[1:1 + SZ2, 1:1 + SX2]
 
         # masked residual on the halo-1 block (TZ+2, TX+2)
         SZ3, SX3 = TZ + 2, TX + 2
@@ -1765,15 +1841,15 @@ def _ps2rr_kernel_rb(rz_ref, rxT_ref, pr_hbm, pi_hbm, dr_hbm, di_hbm,
             cp.wait()
 
 
-@partial(jax.jit, static_argnames=('interpret',))
+@partial(jax.jit, static_argnames=('interpret', 'nsweeps'))
 def presmooth2_restrict_pallas_batched(planes, dinv_eff, mask, b,
-                                       interpret=False):
+                                        interpret=False, nsweeps=2):
     '''
-    The V-cycle's complete fine-level downstroke (two from-zero sweeps,
-    masked residual, full-weighting restriction) for a (R, nz, nx)
-    complex64 batch, in one kernel — whole-batch tile programs (see
-    _ps2rr_kernel_rb). Returns (u2 (R, nz, nx), rc (R, nz/2, nx/2)).
-    No AD rules.
+    The V-cycle's complete fine-level downstroke (``nsweeps`` from-zero
+    sweeps, masked residual, full-weighting restriction) for a
+    (R, nz, nx) complex64 batch, in one kernel — whole-batch tile
+    programs (see _ps2rr_kernel_rb). Returns (u2 (R, nz, nx),
+    rc (R, nz/2, nx/2)). No AD rules.
     '''
 
     nz, nx = b.shape[-2:]
@@ -1794,7 +1870,8 @@ def presmooth2_restrict_pallas_batched(planes, dinv_eff, mask, b,
     Rz, RxT = _restrict_resm_mats(TZ, TX)
 
     R = b.shape[0]
-    kernel = partial(_ps2rr_kernel_rb, TZ=TZ, TX=TX, R=R)
+    kernel = partial(_ps2rr_kernel_rb, TZ=TZ, TX=TX, R=R,
+                     NSWEEPS=nsweeps)
     u2r, u2i, rcr, rci = pl.pallas_call(
         kernel,
         grid=(nz // TZ, nx // TX),

@@ -142,13 +142,16 @@ class SolverConfig(NamedTuple):
                               # Marmousi), 'sym', or 'dst'
                               # (zero-Dirichlet panel solves via odd
                               # extension, 2x panel cost)
-    strat_dft: str = 'auto'   # x-transform implementation of the
-                              # stratified interior solve: 'auto'
-                              # (default: DFT-matrix matmuls on the MXU
-                              # for solve widths <= 2048 — XLA's TPU
-                              # FFT is latency-bound at production
-                              # widths), 'fft' (always jnp.fft), 'dft'
-                              # (always matmul)
+    strat_dft: str = 'fft'    # x-transform implementation of the
+                              # stratified interior solve: 'fft'
+                              # (default: jnp.fft), 'dft' (DFT-matrix
+                              # matmuls on the MXU), 'auto' (matmuls
+                              # for solve widths <= 2048). CPU parity
+                              # is clean; on the axon TPU runtime the
+                              # HIGHEST-precision complex matmul path
+                              # measured no faster than the FFT and the
+                              # 2048^2 dft headline failed its run, so
+                              # fft stays the production default
     fft_mode: str = 'strat'   # 'strat' (default) = depth-stratified
                               # interior solve (per-row mean
                               # coefficients, x-FFT + tridiagonal-in-z
@@ -204,21 +207,33 @@ def resolve_panels(config, c, nx=None, core=256, overlap=32,
     decision must be static under jit.
     '''
 
-    if config.strat_panels != 0:
-        return config
+    cfg = config
     c = np.abs(np.asarray(c, dtype=np.complex128))
     nz, nxc = c.shape[-2:]
     nx = int(nx or nxc)
     zi = slice(nz // 8, nz - nz // 8)
     xi = slice(nxc // 8, nxc - nxc // 8)
     w = c[..., zi, xi]
+    # OPT-IN (ZT_NU_ADAPT=1): near-homogeneous media drop the second
+    # fine-level pre-smoothing sweep. Measured at 512^2 hom the outer
+    # count is unchanged (25/25) and the sweep is a full VPU-bound
+    # stencil apply — but at the 2048^2 production headline nu1=1
+    # costs 46 -> 51 iterations and nets SLOWER (2.55 vs 2.61
+    # solves/s), so the adaptation is off by default
+    total_contrast = float(w.max() / max(w.min(), 1e-30))
+    import os as _os
+    if (total_contrast < contrast_threshold and cfg.mg_nu1 == 2
+            and _os.environ.get('ZT_NU_ADAPT', '0') == '1'):
+        cfg = cfg._replace(mg_nu1=1)
+    if cfg.strat_panels != 0:
+        return cfg
     rm = np.maximum(w.mean(axis=-1, keepdims=True), 1e-30)
     rn = w / rm
     contrast = float(rn.max() / max(rn.min(), 1e-30))
     P = int(max(1, round(nx / core)))
     if contrast < contrast_threshold or P < 2:
-        return config._replace(strat_panels=1)
-    return config._replace(strat_panels=P, strat_overlap=overlap)
+        return cfg._replace(strat_panels=1)
+    return cfg._replace(strat_panels=P, strat_overlap=overlap)
 
 
 def shifted_velocity(c, shift=0.5j):

@@ -525,11 +525,13 @@ def presmooth_restrict(lvl, b, omega, nu1):
     '''
 
     B = lvl.planes.shape[0]
-    if B == 1 and nu1 == 2:
-        from ..ops.stencil import presmooth2_restrict_fast
-        u0, rc = presmooth2_restrict_fast(
-            lvl.planes[0, 0], omega * lvl.dinv[0, 0], lvl.mask,
-            b[..., 0, :, :])
+    if B == 1 and nu1 in (1, 2) and lvl.linez is None:
+        from ..ops.stencil import (presmooth2_restrict_fast,
+                                   presmooth1_restrict_fast)
+        fast = (presmooth2_restrict_fast if nu1 == 2
+                else presmooth1_restrict_fast)
+        u0, rc = fast(lvl.planes[0, 0], omega * lvl.dinv[0, 0],
+                      lvl.mask, b[..., 0, :, :])
         return u0[..., None, :, :], rc[..., None, :, :]
     u, rm = presmooth_residual(lvl, b, omega, nu1)
     return u, restrict(rm)
