@@ -108,6 +108,35 @@ def main():
                                    nu1=cfg.mg_nu1, nu2=cfg.mg_nu2)}
     both('hier+vcycle', hier_probe, pp_c, x_np)
 
+    # inside the v-cycle: one line-smoother stage, the coarse dense
+    # apply, and the block transfers (mg_only diverges on TPU too, so
+    # the culprit is in THIS set, not the stratified solve)
+    def vparts_probe(pp, x):
+        h = mg.build_hierarchy(pp, min_size=cfg.mg_min_size,
+                               coarse=cfg.mg_coarse, smoother='line')
+        lvl0 = h.levels[0]
+        sm1 = mg._smooth(lvl0, jnp.zeros_like(x[None]), x[None],
+                         cfg.mg_omega, 1)
+        from zephyr_tpu.solver.stratified import pcr_apply_block
+        linez = pcr_apply_block(lvl0.linez, x)
+        linex = pcr_apply_block(lvl0.linex, jnp.swapaxes(x, -1, -2))
+        rc = mg.restrict(x)
+        pc = mg.prolong(rc, x.shape[-2], x.shape[-1])
+        nzc = h.levels[-1].planes.shape[-2]
+        bc = x[:, :nzc, :nzc]
+        coarse = mg._coarse_solve(h, bc)
+        return {'smooth1': sm1, 'linez': linez, 'linex': linex,
+                'restrict': rc, 'prolong': pc, 'coarse': coarse}
+    both('vcycle parts', vparts_probe, pp_c, x_np)
+
+    # jacobi-smoother hierarchy: does removing the line smoother fix it?
+    def vjac_probe(pp, x):
+        h = mg.build_hierarchy(pp, min_size=cfg.mg_min_size,
+                               coarse=cfg.mg_coarse, smoother='jacobi')
+        return mg.v_cycle(h, x[None], omega=cfg.mg_omega,
+                          nu1=cfg.mg_nu1, nu2=cfg.mg_nu2)
+    both('vcycle jacobi', vjac_probe, pp_c, x_np)
+
     # stratified block interior solve
     def strat_probe(planes, pp, x):
         L, D, U = st.stratified_coeffs_block(planes, pp, cfg.shift,
@@ -126,6 +155,73 @@ def main():
         M = _make_precond(op, cfg)
         return M(x[None])
     both('full_precond', precond_probe, planes_c, pp_c, x_np)
+
+    # two hand-unrolled Arnoldi steps of gmres_cycle's exact ops (plain
+    # jacobi-MG preconditioner, CPU-built planes): pinpoints the first
+    # quantity that diverges between backends inside the Krylov cycle
+    def arnoldi2_probe(planes, pp, x):
+        from zephyr_tpu.ops.stencil import apply_block_stencil_fast
+        h = mg.build_hierarchy(pp, min_size=cfg.mg_min_size,
+                               coarse=cfg.mg_coarse, smoother='jacobi')
+        Mfn = lambda r: mg.v_cycle(h, r, omega=cfg.mg_omega,
+                                   nu1=cfg.mg_nu1, nu2=cfg.mg_nu2)
+        mv = lambda v: apply_block_stencil_fast(planes, v)
+        q = jnp.zeros((2, n, n), jnp.complex64)
+        q = q.at[0, n // 2, n // 3].set(1.0 + 0.0j)
+        r0 = q
+        beta = jnp.linalg.norm(r0.ravel())
+        v0 = r0 / beta.astype(r0.dtype)
+        w0 = mv(Mfn(v0))
+        h00 = jnp.vdot(v0, w0)
+        w0o = w0 - h00 * v0
+        h10 = jnp.linalg.norm(w0o.ravel()).astype(r0.dtype)
+        v1 = w0o / h10
+        w1 = mv(Mfn(v1))
+        h01 = jnp.vdot(v0, w1)
+        h11 = jnp.vdot(v1, w1)
+        w1o = w1 - h01 * v0 - h11 * v1
+        return {'w0': w0, 'h00': h00, 'h10': h10, 'v1': v1,
+                'w1': w1, 'h01': h01, 'h11': h11, 'w1o': w1o,
+                'Mv0': Mfn(v0)}
+    both('arnoldi2(jacobi-mg)', arnoldi2_probe, planes_c, pp_c, x_np)
+
+    # gmres_cycle itself with the SAME jacobi-MG setup the unrolled
+    # probe used: if this diverges while arnoldi2 matches, the cycle's
+    # loop machinery (masked fori + dynamic indexing of the 4D basis
+    # stack) is the broken piece on TPU
+    def gmres_cycle_probe(planes, pp, x):
+        from zephyr_tpu.ops.stencil import apply_block_stencil_fast
+        from zephyr_tpu.solver.krylov import gmres_cycle
+        h = mg.build_hierarchy(pp, min_size=cfg.mg_min_size,
+                               coarse=cfg.mg_coarse, smoother='jacobi')
+        Mfn = lambda r: mg.v_cycle(h, r, omega=cfg.mg_omega,
+                                   nu1=cfg.mg_nu1, nu2=cfg.mg_nu2)
+        mv = lambda v: apply_block_stencil_fast(planes, v)
+        q = jnp.zeros((2, n, n), jnp.complex64)
+        q = q.at[0, n // 2, n // 3].set(1.0 + 0.0j)
+        res = gmres_cycle(mv, q, M=Mfn, m=20)
+        return {'x': res.x, 'rr': res.relres}
+    both('gmres_cycle(jacobi-mg)', gmres_cycle_probe, planes_c, pp_c,
+         x_np)
+
+    # the SAME cycle under vmap over a 2-RHS batch (the production
+    # chunked path vmaps gmres_cycle; the un-vmapped probe matches
+    # backends — if THIS one diverges, the batched 5D basis updates
+    # are the TPU-miscompiled piece)
+    def vmap_gmres_probe(planes, pp, x):
+        from zephyr_tpu.ops.stencil import apply_block_stencil_fast
+        from zephyr_tpu.solver.krylov import gmres_cycle
+        h = mg.build_hierarchy(pp, min_size=cfg.mg_min_size,
+                               coarse=cfg.mg_coarse, smoother='jacobi')
+        Mfn = lambda r: mg.v_cycle(h, r, omega=cfg.mg_omega,
+                                   nu1=cfg.mg_nu1, nu2=cfg.mg_nu2)
+        mv = lambda v: apply_block_stencil_fast(planes, v)
+        q = jnp.zeros((2, 2, n, n), jnp.complex64)
+        q = q.at[0, 0, n // 2, n // 3].set(1.0 + 0.0j)
+        q = q.at[1, 0, n // 3, n // 2].set(1.0 + 0.0j)
+        res = jax.vmap(lambda qi: gmres_cycle(mv, qi, M=Mfn, m=20))(q)
+        return {'x': res.x, 'rr': res.relres}
+    both('vmap gmres_cycle', vmap_gmres_probe, planes_c, pp_c, x_np)
 
     # 20 GMRES iterations of the real solve path
     from zephyr_tpu.solver.helmholtz import solve_info

@@ -130,6 +130,10 @@ VARIANTS = {
     # carried explicitly ('_iso': popped before SolverConfig), not
     # inferred from the display label
     'iso': {'_iso': True},
+    'jacobi': dict(mg_smoother='jacobi'),
+    'mgjac': dict(precond='mg', mg_smoother='jacobi'),
+    'min64': dict(mg_min_size=64),
+    'min64jac': dict(mg_min_size=64, mg_smoother='jacobi'),
 }
 
 

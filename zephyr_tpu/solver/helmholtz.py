@@ -128,9 +128,11 @@ class SolverConfig(NamedTuple):
                               # overlapping panels (partition-of-unity
                               # blend) whose per-row means capture
                               # LATERAL velocity structure — the
-                              # Marmousi-style iteration cure (2048^2:
-                              # 564 -> 169 iterations, 132 -> 17.5 s
-                              # wall at 8 panels; scalar operators only)
+                              # Marmousi-style iteration cure (2048^2
+                              # rough model, 8 panels: 940 -> 403
+                              # iterations, 2.0x wall; the pre-round-5
+                              # smooth model measured 564 -> 169;
+                              # scalar operators only)
     strat_overlap: int = 16   # panel overlap halo (cells per side)
     strat_taper: str = 'in'   # where the panel partition-of-unity
                               # weights act (see
@@ -196,9 +198,11 @@ def resolve_panels(config, c, nx=None, core=256, overlap=32,
     partition x into ~nx/core panels with an ``overlap``-cell
     partition-of-unity halo, else keep the global per-row solve (panels
     cost ~25%% per application and are pure overhead on layered or
-    homogeneous media). Measured at 2048^2 Marmousi-style, tol 1e-5:
-    564 -> 169 outer iterations (7.5x wall-clock); layered/homogeneous
-    media resolve to the global solve and are untouched.
+    homogeneous media). Measured at 2048^2 on the ROUGH Marmousi-style
+    bench model, tol 1e-5: 940 -> 403 outer iterations (2.0x wall);
+    at 512^2 (2 panels) the effect is neutral (91/91) — the win needs
+    panel cores narrow relative to the lateral structure. Layered and
+    homogeneous media resolve to the global solve and are untouched.
 
     ``c`` is the (host) velocity model; ``nx`` overrides the panelled
     width when the solve runs on a coarser grid than ``c`` (per-
@@ -806,10 +810,26 @@ def make_chunked_solver(config=SolverConfig(), chunk=64):
         x = zeros_rio(b_batch)
         iters = 0
         worst = None
+        best = None
         for i in range(max_chunks):
-            x, rr, its = step_rio(op, b_batch, x)
+            x_new, rr, its = step_rio(op, b_batch, x)
             worst = float(np.asarray(rr))
             iters += int(np.asarray(its))
+            if not np.isfinite(worst) or (best is not None
+                                          and worst > 4.0 * best[1]):
+                # the restart made the TRUE residual materially worse
+                # (or non-finite): keep the best iterate and stop. On
+                # marginally-stable systems (the Eurus TTI block
+                # operator in complex64) a restart cycle can amplify
+                # instead of correct — measured on TPU: chunk residuals
+                # 0.49 -> 1.2e2 -> ... -> NaN while XLA:CPU converges —
+                # and without this guard the recorded "solution" is
+                # garbage rather than the best achieved iterate.
+                x, worst = best
+                break
+            x = x_new
+            if best is None or worst < best[1]:
+                best = (x, worst)
             if worst <= config.tol:
                 break
         return x, iters, worst

@@ -320,13 +320,32 @@ def _line_pcr_states(planes):
     tridiagonal factors. The z bands are the (dz in {-1,0,1}, dx=0)
     planes with their TRUE per-point coefficients (not row means); the
     x-line family is the same construction with the grid axes swapped.
+
+    The reduction's clamped block inverses sit close to singular for
+    the Eurus TTI bands: at the default 1e-6 clamp the recurrence
+    amplifies f32 rounding ~1e5x, enough that the SAME complex64
+    computation lands stable on XLA:CPU but unstable on TPU (measured:
+    x-line apply differs 1.1e-1 between backends; plain-Jacobi V-cycles
+    match at 1e-6, and the TTI solve diverges on TPU only). The clamp
+    is therefore a real stability parameter, overridable for
+    experiments via ZT_LINE_DELTA.
     '''
 
+    import os as _os
     from .stratified import pcr_precompute_block
+    delta = float(_os.environ.get('ZT_LINE_DELTA', 1e-6))
+    quant = (None if _os.environ.get('ZT_LINE_QUANT', '1') != '0'
+             else False)
     # plane index k = (dz + 1) * 3 + (dx + 1)
     zb = (planes[:, :, 1], planes[:, :, 4], planes[:, :, 7])
+    linez = pcr_precompute_block(*zb, delta=delta, quantize=quant)
+    if _os.environ.get('ZT_LINE_AXES', 'zx') == 'z':
+        # z-lines only: the x-line family's block reduction runs
+        # closest to singular (round-5 bisect: its apply differs 1.1e-1
+        # between XLA:CPU and TPU where the z family differs 2.8e-3)
+        return linez, None
     xb = tuple(jnp.swapaxes(planes[:, :, k], -1, -2) for k in (3, 4, 5))
-    return pcr_precompute_block(*zb), pcr_precompute_block(*xb)
+    return linez, pcr_precompute_block(*xb, delta=delta, quantize=quant)
 
 
 def build_hierarchy(planes, min_size=16, max_levels=16, coarse='lu',
@@ -397,6 +416,16 @@ def build_hierarchy(planes, min_size=16, max_levels=16, coarse='lu',
         # 'iterative' but converges in 77 iterations with an exact
         # coarse solve).
         dense = planes_to_dense_jax(levels[-1].planes)
+        # optional Tikhonov regularization of the coarse inverse
+        # (ZT_COARSE_REG, relative to the mean diagonal magnitude):
+        # the coarsest TTI block operator is near-singular enough that
+        # its f32 inverse-apply differs ~9e-2 between XLA:CPU and TPU
+        import os as _os
+        reg = float(_os.environ.get('ZT_COARSE_REG', 0.0))
+        if reg:
+            dmag = jnp.mean(jnp.abs(jnp.diagonal(dense)))
+            dense = dense + (reg * dmag) * jnp.eye(dense.shape[0],
+                                                   dtype=dense.dtype)
         cinv = jnp.linalg.inv(dense)
     return MGHierarchy(tuple(levels), lu, piv, cinv)
 
@@ -421,12 +450,18 @@ def _smooth(level, u, b, omega, nsweeps, from_zero=False):
         from .stratified import pcr_apply_block
         w = LINE_OMEGA
 
-        def body(i, u):
-            r = b - apply_block_stencil_fast(level.planes, u)
-            u = u + w * pcr_apply_block(level.linez, r)
-            r = b - apply_block_stencil_fast(level.planes, u)
-            du = pcr_apply_block(level.linex, jnp.swapaxes(r, -1, -2))
-            return u + w * jnp.swapaxes(du, -1, -2)
+        if level.linex is None:
+            def body(i, u):
+                r = b - apply_block_stencil_fast(level.planes, u)
+                return u + w * pcr_apply_block(level.linez, r)
+        else:
+            def body(i, u):
+                r = b - apply_block_stencil_fast(level.planes, u)
+                u = u + w * pcr_apply_block(level.linez, r)
+                r = b - apply_block_stencil_fast(level.planes, u)
+                du = pcr_apply_block(level.linex,
+                                     jnp.swapaxes(r, -1, -2))
+                return u + w * jnp.swapaxes(du, -1, -2)
         return lax.fori_loop(0, nsweeps, body, u)
     if B == 1:
         # scalar operator: fused sweeps (apply + diag-inverse + update in

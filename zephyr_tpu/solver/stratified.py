@@ -337,18 +337,44 @@ def _bshift(A, s):
     return _shift_z(A, s)
 
 
-def _pcr_levels_block(L, D, U, delta):
+def _bcap(A, cap):
+    '''
+    Magnitude cap of a 2x2 block field: rescale any block whose
+    Frobenius norm exceeds ``cap`` down to it. The block cyclic
+    reduction is not growth-bounded for the non-diagonally-dominant
+    Eurus TTI bands — the reduction factors can amplify f32 rounding
+    until norms overflow, and the SAME complex64 recurrence lands
+    stable on XLA:CPU but NaN-diverges on TPU (round-5 bisect: x-line
+    apply differs 1.1e-1 between backends). The cap bounds the
+    amplification; the result is still an exact solve wherever the
+    factors were within range, and a preconditioner everywhere else.
+    '''
+
+    if not cap:
+        return A
+    nrm = jnp.sqrt(sum(jnp.abs(A[i, j]) ** 2
+                       for i in range(2) for j in range(2)))
+    scale = jnp.minimum(1.0, cap / jnp.maximum(nrm, 1e-30))
+    return A * scale.astype(A.dtype)[None, None]
+
+
+def _pcr_levels_block(L, D, U, delta, cap=None):
     '''
     RHS-independent block cyclic-reduction recurrence — the single
     source of truth for the block PCR arithmetic, shared by the
-    on-the-fly solve and the precomputed fast path.
+    on-the-fly solve and the precomputed fast path. ``cap`` (default:
+    ZT_PCR_BLOCK_CAP env, 0 = off) bounds the per-level reduction
+    factors — see _bcap.
     '''
 
+    import os as _os
+    if cap is None:
+        cap = float(_os.environ.get('ZT_PCR_BLOCK_CAP', 0.0))
     alphas, gammas = [], []
     s = 1
     for _ in range(_pcr_nsteps(D.shape[-2])):
-        alpha = _bmul(-L, _binv(_bshift(D, -s), delta))
-        gamma = _bmul(-U, _binv(_bshift(D, +s), delta))
+        alpha = _bcap(_bmul(-L, _binv(_bshift(D, -s), delta)), cap)
+        gamma = _bcap(_bmul(-U, _binv(_bshift(D, +s), delta)), cap)
         L_new = _bmul(alpha, _bshift(L, -s))
         U_new = _bmul(gamma, _bshift(U, +s))
         D_new = D + _bmul(alpha, _bshift(U, -s)) \
