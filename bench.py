@@ -903,11 +903,14 @@ def main():
     # flushed to BENCH_PARTIAL.json AND re-printed as a complete JSON
     # line after every row (the driver reads the last line).
     t_start = time.time()
-    # 1450 s default: round 4's 2400 s default exceeded the driver's
-    # kill window (rc=124 mid-extras, third round running); with the
-    # LU baseline cached and the persistent compile cache pre-warmed
-    # the full row set fits well inside this
-    budget = float(os.environ.get('ZT_BENCH_TOTAL_BUDGET', 1450))
+    # 1580 s default: round 4's 2400 s default exceeded the driver's
+    # kill window (rc=124 mid-extras, third round running; the round-4
+    # timeline brackets the window at >= ~1800 s). The warm-cache row
+    # set measures ~1460 s total (round-5 rehearsals: gradient 410,
+    # freqblock 287, marmousi 140, gradient_marmousi ~130/512^2,
+    # multiscale ~110, headline+probe ~260, the rest ~210), so 1580
+    # fits every row with margin while staying inside the window
+    budget = float(os.environ.get('ZT_BENCH_TOTAL_BUDGET', 1580))
 
     def _left():
         return budget - (time.time() - t_start)
@@ -951,6 +954,8 @@ def main():
 
     detail['platform_probe'] = platform
     detail['requested_grid'] = BENCH_N
+    detail.setdefault('row_seconds', {})['probe'] = round(
+        time.time() - t_start, 1)
     _checkpoint()
 
     measured = None
@@ -959,8 +964,9 @@ def main():
         if not left:
             break
         # the per-component breakdown costs ~8 min of cold compiles;
-        # skip it when the remaining budget cannot absorb a cold cache
-        extra = {} if left > 1400 else {'ZT_BENCH_COMPONENTS': 0}
+        # run it only on clearly-extended budgets (rehearsals) — at the
+        # 1450 s production default the driver window cannot absorb it
+        extra = {} if left > 2000 else {'ZT_BENCH_COMPONENTS': 0}
         out = _measure_subprocess('hom', timeout=left, ZT_BENCH_N=n,
                                   **extra)
         if out and 'throughput' in out:
@@ -998,6 +1004,8 @@ def main():
     result['value'] = round(tpu_throughput, 4)
     _checkpoint()
 
+    detail.setdefault('row_seconds', {})['headline'] = round(
+        time.time() - t_start, 1)
     lu_throughput, lu_info = measure_lu_baseline(n, BENCH_NSRC)
     detail['lu_baseline'] = lu_info
     detail['lu_throughput'] = lu_throughput
@@ -1172,7 +1180,9 @@ def main():
              lambda: _grad_row('gradient_marmousi', medium='marmousi',
                                grid=gradm_n)),
             ('multiscale', _multiscale_row)]
+    timing = detail.setdefault('row_seconds', {})
     for label, fn in rows:
+        t_row = time.time()
         if not run_extras:
             detail[label] = {'skipped': 'extras disabled (%s)'
                              % ('cpu fallback'
@@ -1180,6 +1190,8 @@ def main():
                                 else 'ZT_BENCH_EXTRAS=0')}
         else:
             fn()
+        timing[label] = round(time.time() - t_row, 1)
+        timing['_elapsed'] = round(time.time() - t_start, 1)
         _checkpoint()
 
 
